@@ -1,0 +1,93 @@
+"""Headline benchmark driver — prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Primary metric: pull-PageRank GTEPS (edges traversed per iteration x
+iterations / solve time) on a Graph500 R-MAT scale-20 graph (|V|=1M,
+|E|~=30M symmetrized, dedup'd) — the same workload class as the
+reference's LiveJournal config (BASELINE.json config 2).
+
+vs_baseline compares against 2.0 GTEPS, an A100-class CUDA pull-PR rate
+on scale-free graphs of this size (GAP-class published numbers; the
+reference repo itself publishes no tables — BASELINE.md). >=0.5 meets the
+"within 2x of A100" north star; >1.0 beats it.
+
+Run: python bench.py [--scale N] [--kernel pr|spmv] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_GTEPS = 2.0      # A100-class CUDA pull-PR on LiveJournal-scale
+BASELINE_SPMV_GFLOPS = 55.0  # cuSPARSE CSR SpMV, scale-free, A100-class
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+
+
+def get_graph(scale: int, need_reverse: bool):
+    """R-MAT graph, cached as binary CSR after first generation."""
+    from gardenia_tpu import load_graph
+    from gardenia_tpu.core.generate import generate_graph
+    from gardenia_tpu.core.io import write_bin_csr
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    prefix = os.path.join(CACHE_DIR, f"rmat{scale}")
+    if os.path.exists(prefix + ".meta.txt"):
+        g = load_graph(prefix, "bin", symmetrize=True,
+                       need_reverse=need_reverse)
+        return g
+    g = generate_graph("rmat", scale=scale, degree=16, symmetrize=True,
+                       need_reverse=need_reverse)
+    write_bin_csr(prefix, g.rowptr, g.colidx)
+    return g
+
+
+def bench_pr(scale: int):
+    from gardenia_tpu.solvers.pr import pr_solver
+    from gardenia_tpu.utils.timer import time_op
+    g = get_graph(scale, need_reverse=True)
+    res, secs = time_op(lambda: pr_solver(g), warmup=1, iters=3)
+    iters = int(res.iterations)
+    gteps = g.nnz * iters / secs / 1e9
+    return {"metric": f"pr_pull_gteps_rmat{scale}", "value": round(gteps, 4),
+            "unit": "GTEPS", "vs_baseline": round(gteps / BASELINE_GTEPS, 4),
+            "detail": {"iters": iters, "ms": round(secs * 1e3, 3),
+                       "nnz": g.nnz, "m": g.m}}
+
+
+def bench_spmv(scale: int):
+    from gardenia_tpu.solvers.spmv import spmv_solver
+    from gardenia_tpu.utils.timer import time_op
+    g = get_graph(scale, need_reverse=False)
+    Ax = np.full(g.nnz, 0.2, np.float32)
+    x = np.full(g.n, 0.3, np.float32)
+    y, secs = time_op(lambda: spmv_solver(g, Ax, x), warmup=1, iters=5)
+    gflops = 2 * g.nnz / secs / 1e9
+    return {"metric": f"spmv_gflops_rmat{scale}", "value": round(gflops, 3),
+            "unit": "GFLOP/s",
+            "vs_baseline": round(gflops / BASELINE_SPMV_GFLOPS, 4),
+            "detail": {"ms": round(secs * 1e3, 3), "nnz": g.nnz}}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=20)
+    ap.add_argument("--kernel", default="pr", choices=["pr", "spmv"])
+    ap.add_argument("--quick", action="store_true",
+                    help="scale 16 for smoke runs")
+    args = ap.parse_args()
+    scale = 16 if args.quick else args.scale
+    t0 = time.time()
+    result = bench_pr(scale) if args.kernel == "pr" else bench_spmv(scale)
+    result["detail"]["total_s"] = round(time.time() - t0, 1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

