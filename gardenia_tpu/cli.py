@@ -62,9 +62,172 @@ def run_spmv(args, variant="ell"):
     check(err < np.sqrt(np.finfo(np.float32).eps), f"(max rel err {err})")
 
 
+def run_bfs(args, variant="do"):
+    """Usage parity: bfs <filetype> <prefix> [symmetrize] [reverse] [source]
+    (src/bfs/main.cc:8-19)."""
+    print("Breadth-first Search by gardenia_tpu")
+    g, rest = _load(args, need_reverse=True)
+    source = int(rest[1]) if len(rest) > 1 else 0
+    from gardenia_tpu.solvers.bfs import bfs_solver
+    res, secs = time_op(lambda: bfs_solver(g, source, variant=variant))
+    print(f"\titerations = {int(res.iterations)}.")
+    report_runtime(variant, secs)
+    print(f"GTEPS = {gteps(g.nnz, secs):.4f}")
+    expect = oracles.bfs_serial(g, source)
+    check(bool((np.asarray(res.dist) == expect).all()))
+
+
+def run_sssp(args, variant="delta"):
+    print("Single Source Shortest Path by gardenia_tpu")
+    g, rest = _load(args, need_reverse=True)
+    source = int(rest[1]) if len(rest) > 1 else 0
+    delta = int(rest[2]) if len(rest) > 2 else 1
+    from gardenia_tpu.solvers.sssp import sssp_solver
+    res, secs = time_op(
+        lambda: sssp_solver(g, source, delta, variant=variant))
+    print(f"\titerations = {int(res.iterations)}.")
+    report_runtime(variant, secs)
+    expect = oracles.sssp_serial(g, source)
+    check(bool((np.asarray(res.dist) == expect).all()))
+
+
+def run_cc(args, variant="afforest"):
+    print("Connected Components by gardenia_tpu")
+    g, _ = _load(args, symmetrize_default=True, need_reverse=True)
+    from gardenia_tpu.solvers.cc import cc_solver
+    res, secs = time_op(lambda: cc_solver(g, variant=variant))
+    report_runtime(variant, secs)
+    comp = np.asarray(res.comp)
+    expect = oracles.cc_serial(g)
+    _, inv_a = np.unique(comp, return_inverse=True)
+    _, inv_b = np.unique(expect, return_inverse=True)
+    consistent = len(np.unique(inv_a * (inv_b.max() + 1) + inv_b)) == \
+        len(np.unique(inv_b))
+    print(f"num_components = {len(np.unique(comp))}")
+    check(consistent)
+
+
+def run_vc(args, variant="base"):
+    print("Vertex Coloring by gardenia_tpu")
+    g, _ = _load(args, symmetrize_default=True)
+    from gardenia_tpu.solvers.vc import vc_solver
+    res, secs = time_op(lambda: vc_solver(g))
+    ms = secs * 1e3
+    print(f"\truntime [base] = {ms:f} ms, "
+          f"num_colors = {int(res.num_colors)}.")
+    check(oracles.vc_check(g, np.asarray(res.colors)))
+
+
+def run_bc(args, variant="base"):
+    print("Betweenness Centrality by gardenia_tpu")
+    g, rest = _load(args, need_reverse=True)
+    source = int(rest[1]) if len(rest) > 1 else 0
+    from gardenia_tpu.solvers.bc import bc_solver
+    res, secs = time_op(lambda: bc_solver(g, source))
+    print(f"\titerations = {int(res.iterations)}.")
+    report_runtime(variant, secs)
+    expect = oracles.bc_serial(g, source)
+    err = np.abs(np.asarray(res.scores) - expect)
+    tol = 1e-4 * (np.abs(np.asarray(res.scores)) + np.abs(expect)) + 1e-4
+    check(bool((err <= tol).all()))
+
+
+def run_tc(args, variant="base"):
+    """Usage parity: tc <filetype> <graph> (src/tc/main.cc:5-9, applies
+    the DAG orientation itself)."""
+    print("Triangle Counting by gardenia_tpu")
+    print("Using DAG (static orientation)")
+    g, _ = _load(args, symmetrize_default=True)
+    from gardenia_tpu.solvers.tc import tc_solver
+    total, secs = time_op(lambda: tc_solver(g))
+    print(f"runtime [{variant}] = {secs:f} sec")
+    print(f"total_num_triangles = {total}")
+    expect = oracles.tc_serial(g.oriented())
+    check(total == expect, f"(expected {expect})")
+
+
+def run_scc(args, variant="fb_trim"):
+    print("Strongly Connected Components by gardenia_tpu")
+    g, _ = _load(args)
+    from gardenia_tpu.solvers.scc import scc_solver
+    res, secs = time_op(lambda: scc_solver(g))
+    report_runtime(variant, secs)
+    root = np.asarray(res.scc_root)
+    expect = oracles.scc_serial(g)
+    _, ia = np.unique(root, return_inverse=True)
+    _, ib = np.unique(expect, return_inverse=True)
+    ok = len(np.unique(ia * (ib.max() + 1) + ib)) == len(np.unique(ib)) \
+        and len(np.unique(ia)) == len(np.unique(ib))
+    print(f"number of SCCs = {len(np.unique(root))}")
+    check(ok)
+
+
+def run_mst(args, variant="boruvka"):
+    print("Minimum Spanning Tree by gardenia_tpu")
+    g, _ = _load(args, symmetrize_default=True)
+    from gardenia_tpu.solvers.mst import mst_solver
+    res, secs = time_op(lambda: mst_solver(g))
+    report_runtime(variant, secs)
+    total = float(res.total_weight)
+    print(f"MST weight = {total}")
+    expect = oracles.mst_total_weight(g)
+    check(abs(total - expect) < 1e-3 * max(1.0, expect),
+          f"(expected {expect})")
+
+
+def run_symgs(args, variant="base"):
+    print("Symmetric Gauss-Seidel smoother by gardenia_tpu")
+    g, _ = _load(args, symmetrize_default=True, need_reverse=True)
+    from gardenia_tpu.solvers.symgs import symgs_solver
+    from gardenia_tpu.solvers.vc import vc_solver
+    from gardenia_tpu.verify import l2_error
+    rng = np.random.default_rng(13)
+    Ax = rng.random(g.nnz).astype(np.float32)
+    x0 = rng.random(g.m).astype(np.float32)
+    b = rng.random(g.m).astype(np.float32)
+    diag = (g.degrees + 1).astype(np.float32)
+    colors = np.asarray(vc_solver(g).colors)
+    res, secs = time_op(
+        lambda: symgs_solver(g, Ax, x0, b, diag, colors))
+    report_runtime(variant, secs)
+    order = np.argsort(colors, kind="stable")
+    counts = np.bincount(colors, minlength=colors.max() + 1)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    expect = oracles.symgs_serial(g, order, Ax, diag, x0, b, offsets)
+    err = l2_error(np.asarray(res.x), expect)
+    check(err < 1e-4, f"(l2 err {err})")
+
+
+def run_sgd(args, variant="base"):
+    print("Stochastic Gradient Descent by gardenia_tpu")
+    g, rest = _load(args)
+    lam = float(rest[1]) if len(rest) > 1 else 0.05
+    step = float(rest[2]) if len(rest) > 2 else 0.003
+    max_iters = int(rest[3]) if len(rest) > 3 else 3
+    from gardenia_tpu.solvers.sgd import sgd_solver
+    res, secs = time_op(
+        lambda: sgd_solver(g, lam, step, max_iters, epsilon=0.0))
+    rmse = np.asarray(res.rmse)
+    for i in range(int(res.iterations)):
+        print(f"Iteration {i + 1}: RMSE error = {rmse[i]:f}")
+    print(f"\titerations = {int(res.iterations)}.")
+    report_runtime(variant, secs)
+    check(bool(rmse[int(res.iterations) - 1] <= rmse[0]))
+
+
 KERNELS = {
     "pr": run_pr,
     "spmv": run_spmv,
+    "bfs": run_bfs,
+    "sssp": run_sssp,
+    "cc": run_cc,
+    "vc": run_vc,
+    "bc": run_bc,
+    "tc": run_tc,
+    "scc": run_scc,
+    "mst": run_mst,
+    "symgs": run_symgs,
+    "sgd": run_sgd,
 }
 
 
@@ -77,8 +240,13 @@ def main(argv=None):
         return 1
     kernel, rest = argv[0], argv[1:]
     variant = None
-    if rest and rest[0].startswith("--variant="):
-        variant = rest[0].split("=", 1)[1]
+    while rest and rest[0].startswith("--"):
+        if rest[0].startswith("--variant="):
+            variant = rest[0].split("=", 1)[1]
+        elif rest[0].startswith("--device="):
+            # e.g. --device=cpu to bypass the axon TPU tunnel
+            import jax
+            jax.config.update("jax_platforms", rest[0].split("=", 1)[1])
         rest = rest[1:]
     if variant:
         KERNELS[kernel](rest, variant=variant)

@@ -61,9 +61,22 @@ def clean_edges(src, dst, wt=None, *, num_rows: int,
         uniq[0] = True
         np.logical_or(src[1:] != src[:-1], dst[1:] != dst[:-1], out=uniq[1:])
         if not uniq.all():
-            src, dst = src[uniq], dst[uniq]
-            if wt is not None:
-                wt = wt[uniq]
+            if wt is not None and symmetrize:
+                # Combine duplicate weights with min so the symmetrized
+                # weight matrix is symmetric even when the input has
+                # parallel edges with differing weights (the reference
+                # keeps an arbitrary copy — std::sort is unstable,
+                # csr_graph.h:131-143 — and then aliases the reverse
+                # graph, so it silently relies on symmetric weights).
+                gid = np.cumsum(uniq) - 1
+                wmin = np.full(gid[-1] + 1, np.inf)
+                np.minimum.at(wmin, gid, wt)
+                wt = wmin
+                src, dst = src[uniq], dst[uniq]
+            else:
+                src, dst = src[uniq], dst[uniq]
+                if wt is not None:
+                    wt = wt[uniq]
     return src, dst, wt
 
 

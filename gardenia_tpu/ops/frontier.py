@@ -1,0 +1,60 @@
+"""Frontier primitives — dense masks + compaction/expansion.
+
+The reference keeps frontiers in atomics-based queues (Worklist2
+include/worklistc.h:63, SlidingQueue include/sliding_queue.h:28, Bitmap
+include/bitmap.h:21).  On TPU a frontier is a dense vector; a "push" is a
+scatter, "queue size" is a popcount, and turning a mask back into a
+compact id list is a sort/cumsum — `jnp.nonzero` with a static size.
+
+`expand_frontier_edges` is the TPU version of the reference's
+CTA+warp+scan three-level load-balanced gather (src/bfs/linear_lb.cu:24-182):
+given a compact frontier, produce the flat list of (src, dst) pairs of all
+out-edges of frontier vertices, via cumsum + vectorized binary search
+instead of intra-block scans.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def compact_mask(mask: jax.Array, size: int, fill: int) -> jax.Array:
+    """Indices where mask is true, padded with `fill` to static `size`."""
+    return jnp.nonzero(mask, size=size, fill_value=fill)[0].astype(jnp.int32)
+
+
+def frontier_degree_sum(mask: jax.Array, deg: jax.Array) -> jax.Array:
+    """Total out-edges leaving the frontier (scout_count,
+    src/bfs/omp_beamer.cc:40-49)."""
+    return jnp.sum(jnp.where(mask, deg, 0))
+
+
+def expand_frontier_edges(rowptr: jax.Array,
+                          colidx: jax.Array,
+                          frontier_ids: jax.Array,
+                          capacity: int
+                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Flatten the out-edges of `frontier_ids` into padded arrays.
+
+    frontier_ids: i32[P], padded with m (sentinel row with 0 edges).
+    Returns (src i32[capacity], dst i32[capacity], valid bool[capacity]).
+    Requires rowptr to have an m-th entry (it does: rowptr[m] = nnz).
+    """
+    nnz = colidx.shape[0]
+    starts = rowptr[frontier_ids]
+    ends = rowptr[jnp.minimum(frontier_ids + 1, rowptr.shape[0] - 1)]
+    lens = jnp.maximum(ends - starts, 0)
+    cum_ends = jnp.cumsum(lens)
+    total = cum_ends[-1] if lens.shape[0] else jnp.int32(0)
+    offsets = cum_ends - lens
+    j = jnp.arange(capacity, dtype=jnp.int32)
+    # owner f of edge slot j: first frontier index with cum_ends[f] > j
+    f = jnp.searchsorted(cum_ends, j, side="right").astype(jnp.int32)
+    f = jnp.minimum(f, frontier_ids.shape[0] - 1)
+    e = starts[f] + (j - offsets[f])
+    valid = j < total
+    e = jnp.clip(e, 0, max(nnz - 1, 0))
+    return frontier_ids[f], colidx[e], valid

@@ -1,0 +1,100 @@
+"""BC — betweenness centrality (Brandes, single source).
+
+Reference: src/bc/{bc.h,omp_base.cc}: forward parallel BFS records depths
+and path counts (sigma), marking successor edges in an edge Bitmap with
+per-depth frontier boundaries; backward pass accumulates dependencies
+delta level by level; scores normalized by the max (omp_base.cc:14-110).
+
+TPU design: both passes are dense level-synchronous semiring SpMVs — no
+edge bitmap needed because "successor" is recoverable from the depth
+array (succ(u,v) <=> depth[v] == depth[u]+1):
+  forward  d: sigma += A_in  @ (sigma where depth == d)      on rows with
+              depth == d+1 (plus-times SpMV, newly discovered rows)
+  backward d: delta[u] = sigma[u] * sum over out-nbrs v at depth d+1 of
+              (1+delta[v])/sigma[v]   for rows at depth d
+Both loops run fused in lax.while_loop with on-device level counters.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gardenia_tpu.core import types as T
+from gardenia_tpu.ops import F32_PLUS_TIMES, I32_PLUS_TIMES, spmv_ell
+
+INF = np.int32(T.MYINFINITY)
+
+
+class BCResult(NamedTuple):
+    scores: jax.Array      # f32[m], normalized by max
+    iterations: jax.Array  # i32 (forward levels)
+
+
+def bc_solver(g, source: int = 0, *, num_sources: int = 1) -> BCResult:
+    """Reference entry BCSolver(g, source, scores) (src/bc/bc.h:37).
+    num_sources kept for parity with the multi-source GPU variants
+    (consecutive sources starting at `source`)."""
+    m = g.m
+    in_ell = g.ell(reverse=True)
+    out_ell = g.ell()
+
+    @jax.jit
+    def run(source):
+        def one_source(scores, src):
+            depth0 = jnp.full((m,), INF, jnp.int32).at[src].set(0)
+            sigma0 = jnp.zeros((m,), jnp.float32).at[src].set(1.0)
+            frontier0 = jnp.zeros((m,), jnp.int32).at[src].set(1)
+
+            def fcond(state):
+                _, _, frontier, _ = state
+                return jnp.sum(frontier) > 0
+
+            def fbody(state):
+                depth, sigma, frontier, d = state
+                cnt = spmv_ell(in_ell, frontier, semiring=I32_PLUS_TIMES,
+                               num_rows=m)
+                newly = (cnt > 0) & (depth == INF)
+                depth = jnp.where(newly, d + 1, depth)
+                # path counts: sum of sigma over in-neighbors one level up
+                contrib = jnp.where(depth == d, sigma, 0.0)
+                paths = spmv_ell(in_ell, contrib,
+                                 semiring=F32_PLUS_TIMES, num_rows=m)
+                sigma = jnp.where(newly, paths, sigma)
+                return depth, sigma, newly.astype(jnp.int32), d + 1
+
+            depth, sigma, _, max_d = jax.lax.while_loop(
+                fcond, fbody, (depth0, sigma0, frontier0, jnp.int32(0)))
+
+            # backward accumulation from max_d-1 down to 0
+            def bcond(state):
+                _, d = state
+                return d >= 0
+
+            def bbody(state):
+                delta, d = state
+                w = jnp.where(depth == d + 1, (1.0 + delta) / sigma, 0.0)
+                acc = spmv_ell(out_ell, w, semiring=F32_PLUS_TIMES,
+                               num_rows=m)
+                new_delta = sigma * acc
+                delta = jnp.where(depth == d, new_delta, delta)
+                return delta, d - 1
+
+            # the reference accumulates the source's delta too
+            # (omp_base.cc:81-93 loops down to depth 0)
+            delta, _ = jax.lax.while_loop(
+                bcond, bbody, (jnp.zeros((m,), jnp.float32), max_d - 1))
+            return scores + delta, max_d
+
+        scores = jnp.zeros((m,), jnp.float32)
+        iters = jnp.int32(0)
+        for k in range(num_sources):
+            scores, it = one_source(scores, source + k)
+            iters = iters + it
+        biggest = jnp.maximum(jnp.max(scores), 1e-30)
+        return BCResult(scores / biggest, iters)
+
+    return run(jnp.int32(source))

@@ -1,0 +1,134 @@
+"""CC — connected components (Afforest / Shiloach-Vishkin).
+
+Reference: src/cc/{cc.h,omp_afforest.cc,base.cu}.  Labels are
+representative vertex ids; the verifier only requires label consistency
+(same component <=> same label, src/cc/verifier.cc:35-60).
+
+TPU design: the reference's lock-free union-find Link
+(omp_afforest.cc:12-25) becomes edge-parallel two-sided hooking — one
+scatter-min per direction into the current ROOT of each endpoint —
+followed by full pointer-jumping compression; the round loop is fused in
+one lax.while_loop:
+    comp = comp.at[comp[dst]].min(comp[src])    # hook dst's root down
+    comp = comp.at[comp[src]].min(comp[dst])    # hook src's root down
+    comp = pointer_jump(comp)
+Converges in O(log m) rounds of O(E) scatters.
+
+Variants:
+  'sv'       — hooking over all edges every round (Shiloach-Vishkin,
+               reference base.cu).
+  'afforest' — Afforest (omp_afforest.cc:37-83): `neighbor_rounds` sampling
+               rounds hook only the r-th neighbor of each vertex; then the
+               most frequent component is found from a 1024-vertex sample
+               (verifier.cc:13-33 SampleFrequentElement) and the final
+               hooking rounds skip edges internal to that component.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gardenia_tpu.ops.pointer_jump import pointer_jump
+
+
+class CCResult(NamedTuple):
+    comp: jax.Array        # i32[m] representative labels
+    iterations: jax.Array  # i32
+
+
+def _hook_edges(comp, src, dst, m):
+    """Two-sided union by min label (Link, omp_afforest.cc:12-25)."""
+    ls, ld = comp[src], comp[dst]
+    comp = comp.at[ld].min(ls, mode="drop")
+    comp = comp.at[ls].min(ld, mode="drop")
+    return comp
+
+
+def _coo(g):
+    src, dst = g.device_coo()
+    return src, dst
+
+
+def cc_sv(g) -> CCResult:
+    m = g.m
+    src, dst = _coo(g)
+
+    @jax.jit
+    def run(comp0):
+        def cond(state):
+            _, changed, _ = state
+            return changed
+
+        def body(state):
+            comp, _, it = state
+            new = _hook_edges(comp, src, dst, m)
+            new = pointer_jump(new)
+            return new, jnp.any(new != comp), it + 1
+
+        comp, _, it = jax.lax.while_loop(
+            cond, body, (comp0, jnp.bool_(True), jnp.int32(0)))
+        return CCResult(comp, it)
+
+    return run(jnp.arange(m, dtype=jnp.int32))
+
+
+def cc_afforest(g, neighbor_rounds: int = 2) -> CCResult:
+    m = g.m
+    rowptr, colidx = g.device_csr()
+    src, dst = _coo(g)
+
+    @jax.jit
+    def run(comp0):
+        comp = comp0
+        vid = jnp.arange(m, dtype=jnp.int32)
+        # sampling rounds: hook only the r-th neighbor of each vertex
+        # (omp_afforest.cc:40-50)
+        for r in range(neighbor_rounds):
+            start = rowptr[:-1] + r
+            has = start < rowptr[1:]
+            partner = colidx[jnp.minimum(start, colidx.shape[0] - 1)]
+            partner = jnp.where(has, partner, vid)
+            comp = _hook_edges(comp, vid, partner, m)
+            comp = pointer_jump(comp)
+        # most frequent component from a fixed 1024-vertex sample
+        idx = jnp.asarray(
+            np.random.default_rng(0).integers(0, m, 1024, dtype=np.int64)
+            .astype(np.int32))
+        counts = jnp.zeros((m,), jnp.int32).at[comp[idx]].add(1)
+        biggest = jnp.argmax(counts).astype(jnp.int32)
+
+        def cond(state):
+            _, changed, _ = state
+            return changed
+
+        def body(state):
+            comp, _, it = state
+            # skip edges fully inside the biggest component
+            # (omp_afforest.cc:57-62)
+            keep = (comp[src] != biggest) | (comp[dst] != biggest)
+            s = jnp.where(keep, src, m)
+            d = jnp.where(keep, dst, m)
+            ls = comp[jnp.minimum(s, m - 1)]
+            ld = comp[jnp.minimum(d, m - 1)]
+            new = comp.at[jnp.where(keep, ld, m)].min(ls, mode="drop")
+            new = new.at[jnp.where(keep, ls, m)].min(ld, mode="drop")
+            new = pointer_jump(new)
+            return new, jnp.any(new != comp), it + 1
+
+        comp, _, it = jax.lax.while_loop(
+            cond, body, (comp, jnp.bool_(True), jnp.int32(0)))
+        return CCResult(comp, it + neighbor_rounds)
+
+    return run(jnp.arange(m, dtype=jnp.int32))
+
+
+VARIANTS = {"sv": cc_sv, "afforest": cc_afforest}
+
+
+def cc_solver(g, *, variant: str = "afforest") -> CCResult:
+    """Reference entry CCSolver(g, comp) (src/cc/cc.h:30)."""
+    return VARIANTS[variant](g)

@@ -1,0 +1,118 @@
+"""MST — Boruvka minimum spanning tree/forest.
+
+Reference: src/mst/main.cu (LonestarGPU port): per round, each component
+finds its minimum-weight outgoing edge (dfindelemin/dfindelemin2), verifies
+the partner (verify_min_elem), unions components through the ComponentSpace
+union-find, and repeats under a GlobalBarrier loop until no component has
+an outgoing edge (main.cu:12-129).  Output: total MST weight `mstwt`.
+
+TPU design, per fused round:
+  1. per-component min edge weight: scatter-min of cross-component edge
+     weights keyed by comp[src];
+  2. tie-break to a single edge: scatter-min of edge ids among edges
+     matching the component minimum (replaces verify_min_elem);
+  3. hook comp[dst-root] <- comp[src-root] for chosen edges and pointer-
+     jump (replaces ComponentSpace unify+compress).
+Boruvka halves component count per round: O(log m) rounds of O(E).
+A chosen edge (u,v) may be picked by both endpoints' components; weight
+accounting dedups by edge id.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gardenia_tpu.ops.pointer_jump import pointer_jump
+
+_INT_MAX = np.int32(np.iinfo(np.int32).max)
+
+
+class MSTResult(NamedTuple):
+    total_weight: jax.Array   # f32 (sum of chosen edge weights)
+    edge_mask: jax.Array      # bool[nnz] chosen edges (one direction)
+    comp: jax.Array           # final components (forest roots)
+
+
+def mst_solver(g) -> MSTResult:
+    """g: symmetrized weighted graph (reference loads with symmetrize=1,
+    main.cu:171). Unweighted graphs get unit weights (spanning forest)."""
+    m, nnz = g.m, g.nnz
+    src, dst = g.device_coo()
+    w = g.device_weights()
+    if w is None:
+        w = jnp.ones((nnz,), jnp.float32)
+    wi = w.astype(jnp.int32)   # integral WeightT (common.h:46)
+    eid = jnp.arange(nnz, dtype=jnp.int32)
+    # canonical undirected edge id, identical for (u,v) and (v,u): the
+    # global tie-break making per-component minima a total order (no
+    # equal-weight cycles; the reference's verify_min_elem plays this role)
+    s_h = np.repeat(np.arange(m), np.diff(g.rowptr))
+    d_h = np.asarray(g.colidx)
+    pair = np.stack([np.minimum(s_h, d_h), np.maximum(s_h, d_h)], axis=1)
+    _, cid_h = np.unique(pair, axis=0, return_inverse=True)
+    cid = jnp.asarray(cid_h.astype(np.int32))
+
+    @jax.jit
+    def run():
+        def cond(state):
+            _, _, changed = state
+            return changed
+
+        def body(state):
+            comp, chosen, _ = state
+            cs, cd = comp[src], comp[dst]
+            cross = cs != cd
+            # 1) min weight per component
+            key = jnp.where(cross, cs, m)
+            minw = jnp.full((m,), _INT_MAX, jnp.int32).at[key].min(
+                jnp.where(cross, wi, _INT_MAX), mode="drop")
+            # 2) tie-break: min canonical edge id among weight-matching
+            # edges, then a concrete edge index for that canonical id
+            hit1 = cross & (wi == minw[jnp.minimum(cs, m - 1)])
+            mincid = jnp.full((m,), _INT_MAX, jnp.int32).at[
+                jnp.where(hit1, cs, m)].min(
+                jnp.where(hit1, cid, _INT_MAX), mode="drop")
+            hit = hit1 & (cid == mincid[jnp.minimum(cs, m - 1)])
+            mine = jnp.full((m,), nnz, jnp.int32).at[
+                jnp.where(hit, cs, m)].min(eid, mode="drop")
+            has = mine < nnz
+            e = jnp.minimum(mine, nnz - 1)
+            chosen = chosen.at[jnp.where(has, e, nnz)].set(
+                True, mode="drop")
+            # 3) union: hook the chosen edge's endpoints' roots
+            ls = comp[src[e]]
+            ld = comp[dst[e]]
+            ls = jnp.where(has, ls, m)
+            ld_safe = jnp.where(has, ld, 0)
+            comp2 = comp.at[jnp.minimum(ls, m - 1)].min(
+                jnp.where(has, ld_safe, _INT_MAX), mode="drop")
+            comp2 = comp2.at[jnp.where(has, ld, m)].min(
+                jnp.where(has, comp[jnp.minimum(ls, m - 1)], _INT_MAX),
+                mode="drop")
+            comp2 = pointer_jump(comp2)
+            return comp2, chosen, jnp.any(comp2 != comp)
+
+        comp0 = jnp.arange(m, dtype=jnp.int32)
+        chosen0 = jnp.zeros((nnz,), bool)
+        comp, chosen, _ = jax.lax.while_loop(
+            cond, body, (comp0, chosen0, jnp.bool_(True)))
+        # dedup reverse duplicates: an undirected edge may be chosen via
+        # either direction; count each vertex pair once
+        total = jnp.sum(jnp.where(chosen, w, 0.0))
+        return MSTResult(total, chosen, comp)
+
+    res = run()
+    # host-side dedup of (u,v)/(v,u) double-chosen pairs
+    chosen = np.asarray(res.edge_mask)
+    s = np.repeat(np.arange(m), np.diff(g.rowptr))[chosen]
+    d = np.asarray(g.colidx)[chosen]
+    wsel = np.asarray(g.weights if g.weights is not None
+                      else np.ones(nnz))[chosen]
+    key = np.stack([np.minimum(s, d), np.maximum(s, d)], axis=1)
+    _, first = np.unique(key, axis=0, return_index=True)
+    total = float(wsel[first].sum())
+    return MSTResult(jnp.float32(total), res.edge_mask, res.comp)

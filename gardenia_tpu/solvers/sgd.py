@@ -1,0 +1,104 @@
+"""SGD — matrix-factorization stochastic gradient descent (Koren).
+
+Reference: src/sgd/{sgd.h,omp_base.cc,main.cc}: bipartite user x item
+rating graph, K=20 latent dims, per-edge Hogwild updates
+  u += step * (-lambda*u + i*delta),  i += step * (-lambda*i + u*delta),
+RMSE convergence check per iteration (omp_base.cc:40-99; hyperparameters
+sgd.h:25-29: lambda=0.001 wait — driver defaults lambda=0.05 step=0.003).
+
+TPU design: a synchronous mini-batch gradient step — the exact
+full-batch gradient of
+  L = 0.5*sum_e (r_e - u_src·i_dst)^2
+      + 0.5*lambda*sum_e (|u_src|^2 + |i_dst|^2)
+via jax.grad (one gather + einsum + segment-sum per step; the MXU does
+the K-dim contractions).  This is the same fixed point the reference's
+racy per-edge scheme approximates, with the update applied once per
+epoch; the GPU 'base' variant races identically across edges.  Returns
+the RMSE trace for the quality contract.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+K = 20                 # latent dims (sgd.h:25)
+DEFAULT_LAMBDA = 0.05  # driver default (src/sgd/main.cc:35)
+DEFAULT_STEP = 0.003
+DEFAULT_EPSILON = 0.1
+DEFAULT_MAX_ITERS = 3
+
+
+class SGDResult(NamedTuple):
+    user_lv: jax.Array   # f32[m, K]
+    item_lv: jax.Array   # f32[n, K]
+    rmse: jax.Array      # f32[max_iters+1] (inf tail), rmse[i] after i+1
+    iterations: jax.Array
+
+
+def init_latent(count: int, seed: int = 0) -> np.ndarray:
+    """uniform(0, 0.1) init (src/sgd/main.cc:6-13)."""
+    return (np.random.default_rng(seed).random((count, K)) * 0.1
+            ).astype(np.float32)
+
+
+def make_sgd_step(src, dst, ratings, lam, step, num_users, num_items):
+    """Return the jittable training step (also used by the multichip
+    dryrun): (u, i) -> (u', i', rmse)."""
+    nnz = ratings.shape[0]
+
+    def loss_fn(ulv, ilv):
+        est = jnp.einsum("ek,ek->e", ulv[src], ilv[dst],
+                         preferred_element_type=jnp.float32)
+        delta = ratings - est
+        reg = jnp.sum(ulv[src] ** 2) + jnp.sum(ilv[dst] ** 2)
+        return 0.5 * jnp.sum(delta ** 2) + 0.5 * lam * reg, \
+            jnp.sum(delta ** 2)
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+    def sgd_step(ulv, ilv):
+        (_, sqerr), (gu, gi) = grad_fn(ulv, ilv)
+        ulv = ulv - step * gu
+        ilv = ilv - step * gi
+        return ulv, ilv, jnp.sqrt(sqerr / nnz)
+
+    return sgd_step
+
+
+def sgd_solver(g, lam: float = DEFAULT_LAMBDA, step: float = DEFAULT_STEP,
+               max_iters: int = DEFAULT_MAX_ITERS,
+               epsilon: float = DEFAULT_EPSILON, seed: int = 0
+               ) -> SGDResult:
+    """Reference entry SGDSolver(m, n, nnz, row_offsets, column_indices,
+    rating, user_lv, item_lv, ordering) (src/sgd/sgd.h:31).  g is the
+    bipartite rating graph: rows = users, colidx = items (g.n items),
+    weights = ratings."""
+    m, n = g.m, max(g.n, int(g.colidx.max()) + 1 if g.nnz else 1)
+    src, dst = g.device_coo()
+    ratings = jnp.asarray(
+        (g.weights if g.weights is not None else np.ones(g.nnz))
+        .astype(np.float32))
+    sgd_step = make_sgd_step(src, dst, ratings, lam, step, m, n)
+
+    @jax.jit
+    def run(ulv, ilv):
+        def cond(state):
+            _, _, _, it, last = state
+            return jnp.logical_and(it < max_iters, last >= epsilon)
+
+        def body(state):
+            ulv, ilv, hist, it, _ = state
+            ulv, ilv, rmse = sgd_step(ulv, ilv)
+            return ulv, ilv, hist.at[it].set(rmse), it + 1, rmse
+
+        hist0 = jnp.full((max_iters,), jnp.inf, jnp.float32)
+        state = (ulv, ilv, hist0, jnp.int32(0), jnp.float32(jnp.inf))
+        ulv, ilv, hist, it, _ = jax.lax.while_loop(cond, body, state)
+        return SGDResult(ulv, ilv, hist, it)
+
+    return run(jnp.asarray(init_latent(m, seed)),
+               jnp.asarray(init_latent(n, seed + 1)))

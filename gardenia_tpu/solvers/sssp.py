@@ -1,0 +1,91 @@
+"""SSSP — delta-stepping / Bellman-Ford over min-plus slab SpMV.
+
+Reference: src/sssp/{sssp.h,omp_base.cc,dstep.cu,davidson.cu}.  Distances
+are int32 with MYINFINITY sentinel; the driver synthesizes unit weights
+(src/sssp/main.cc:26) but real weights are honored when present.
+MYINFINITY (1e9) + any edge weight stays below int32 max, so min-plus over
+the sentinel is overflow-safe without masking (common.h:66).
+
+Variants (both fully fused in one lax.while_loop, no host sync):
+  'bf'    — frontier Bellman-Ford: relax out of all vertices whose distance
+            improved last round (the linear_base data-driven mapping).
+  'delta' — delta-stepping: per round, relax only the frontier vertices in
+            the lowest occupied bucket (dist // delta == k), mirroring the
+            thread-local-bin bucketing of omp_base.cc:31-97; on TPU the
+            bucket is a mask and bin-voting is a device-wide min.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gardenia_tpu.core import types as T
+from gardenia_tpu.ops import I32_MIN_PLUS, spmv_ell
+
+INF = np.int32(T.MYINFINITY)
+
+
+class SSSPResult(NamedTuple):
+    dist: jax.Array        # i32[m]
+    iterations: jax.Array  # i32
+
+
+def _weighted_in_ell(g):
+    """Min-plus needs int-valued weights in the slabs; reuse the cached
+    f32 ELL (weights < 2^24 are exact in f32) but compute in int32."""
+    return g.ell(reverse=True, weighted=True)
+
+
+def _relax(in_ell, x_masked, m):
+    """One masked min-plus relaxation: nd[v] = min over in-edges (u,w) of
+    x[u] + w."""
+    return spmv_ell(in_ell, x_masked, semiring=I32_MIN_PLUS, num_rows=m)
+
+
+def _sssp_loop(in_ell, m: int, delta: int, use_delta: bool,
+               max_rounds: int):
+    def run(source):
+        dist0 = jnp.full((m,), INF, jnp.int32).at[source].set(0)
+        frontier0 = jnp.zeros((m,), bool).at[source].set(True)
+
+        def cond(state):
+            _, frontier, it = state
+            return jnp.logical_and(jnp.any(frontier), it < max_rounds)
+
+        def body(state):
+            dist, frontier, it = state
+            if use_delta:
+                bucket = jnp.min(jnp.where(frontier, dist // delta, INF))
+                active = frontier & (dist // delta == bucket)
+            else:
+                active = frontier
+            x = jnp.where(active, dist, INF)
+            nd = _relax(in_ell, x, m)
+            new_dist = jnp.minimum(dist, nd)
+            improved = new_dist < dist
+            return new_dist, (frontier & ~active) | improved, it + 1
+
+        dist, _, it = jax.lax.while_loop(
+            cond, body, (dist0, frontier0, jnp.int32(0)))
+        return SSSPResult(dist, it)
+    return run
+
+
+def sssp_solver(g, source: int = 0, delta: int = 1, *,
+                variant: str = "delta",
+                max_rounds: int = None) -> SSSPResult:
+    """Reference entry SSSPSolver(g, source, weight, dist, delta)
+    (src/sssp/sssp.h:46). Int32 edge weights come from the graph
+    (g.weights) or default to 1."""
+    m = g.m
+    in_ell = _weighted_in_ell(g)
+    if max_rounds is None:
+        # worst case: every round settles at least one vertex
+        max_rounds = 4 * m + 16
+    run = jax.jit(_sssp_loop(in_ell, m, max(1, int(delta)),
+                             variant == "delta", max_rounds))
+    return run(jnp.int32(source))

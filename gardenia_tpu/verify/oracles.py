@@ -71,7 +71,8 @@ def pagerank_push_residual(g, scores, kdamp: float = 0.85) -> float:
 
 
 def bfs_serial(g, source: int) -> np.ndarray:
-    """Serial BFS depths (src/bfs/verifier.cc:8-40); unreachable = -1."""
+    """Serial BFS depths (src/bfs/verifier.cc:8-40); unreachable =
+    MYINFINITY (the reference verifier inits depth to MYINFINITY)."""
     depth = np.full(g.m, -1, T.DIST_DTYPE)
     depth[source] = 0
     frontier = [source]
@@ -85,6 +86,7 @@ def bfs_serial(g, source: int) -> np.ndarray:
                     depth[v] = d
                     nxt.append(v)
         frontier = nxt
+    depth[depth < 0] = T.MYINFINITY
     return depth
 
 
@@ -114,6 +116,7 @@ def cc_serial(g) -> np.ndarray:
     label = smallest vertex id in component.  Treats edges as undirected
     for verification (reference CC requires symmetrized input)."""
     comp = np.full(g.m, -1, T.COMP_DTYPE)
+    both = g.symmetric
     for s in range(g.m):
         if comp[s] >= 0:
             continue
@@ -121,7 +124,9 @@ def cc_serial(g) -> np.ndarray:
         stack = [s]
         while stack:
             u = stack.pop()
-            for v in _neigh(g, u):
+            nbrs = _neigh(g, u) if both else np.concatenate(
+                [_neigh(g, u), _neigh(g, u, reverse=True)])
+            for v in nbrs:
                 if comp[v] < 0:
                     comp[v] = s
                     stack.append(v)
@@ -152,14 +157,14 @@ def bc_serial(g, source: int) -> np.ndarray:
     levels.pop()
     # backward accumulation
     delta = np.zeros(m, np.float64)
+    # farthest to closest, INCLUDING the source level (verifier.cc:111-124)
     for lvl in reversed(levels):
         for u in lvl:
             for v in _neigh(g, u):
                 if depth[v] == depth[u] + 1:
                     delta[u] += sigma[u] / sigma[v] * (1.0 + delta[v])
         for u in lvl:
-            if u != source:
-                scores[u] = delta[u]
+            scores[u] = delta[u]
     mx = scores.max()
     if mx > 0:
         scores = scores / mx
@@ -200,6 +205,81 @@ def symgs_serial(g, indices, Ax, diag, x, b, color_offsets) -> np.ndarray:
                     row_sum += x[ci[e]] * Ax[e]
                 x[i] = (b[i] - row_sum) / diag[i] if diag[i] != 0 else x[i]
     return x.astype(np.float32)
+
+
+def scc_serial(g) -> np.ndarray:
+    """Iterative Tarjan SCC (the reference verifier's oracle,
+    src/scc/verifier.cc:44 tarjan_scc).  Returns component labels
+    (first-visited member's preorder id — compare up to renaming)."""
+    m = g.m
+    rp, ci = g.rowptr, g.colidx
+    index = np.full(m, -1, np.int64)
+    lowlink = np.zeros(m, np.int64)
+    on_stack = np.zeros(m, bool)
+    labels = np.full(m, -1, T.COMP_DTYPE)
+    counter = 0
+    n_scc = 0
+    stack = []
+    for s in range(m):
+        if index[s] >= 0:
+            continue
+        work = [(s, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = lowlink[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack[v] = True
+            recurse = False
+            for j in range(rp[v] + pi, rp[v + 1]):
+                w = ci[j]
+                if index[w] < 0:
+                    work[-1] = (v, j - rp[v] + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif on_stack[w]:
+                    lowlink[v] = min(lowlink[v], index[w])
+            if recurse:
+                continue
+            if lowlink[v] == index[v]:
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    labels[w] = n_scc
+                    if w == v:
+                        break
+                n_scc += 1
+            work.pop()
+            if work:
+                u = work[-1][0]
+                lowlink[u] = min(lowlink[u], lowlink[v])
+    return labels
+
+
+def mst_total_weight(g) -> float:
+    """Kruskal oracle for the MST/MSF total weight (the reference has no
+    separate verifier — src/mst/main.cu prints mstwt directly)."""
+    s = np.repeat(np.arange(g.m), np.diff(g.rowptr))
+    d = np.asarray(g.colidx)
+    w = np.asarray(g.weights if g.weights is not None else np.ones(g.nnz))
+    order = np.argsort(w, kind="stable")
+    parent = list(range(g.m))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    total = 0.0
+    for e in order:
+        ru, rv = find(int(s[e])), find(int(d[e]))
+        if ru != rv:
+            parent[ru] = rv
+            total += float(w[e])
+    return total
 
 
 def sgd_rmse(row_offsets, colidx, ratings, user_lv, item_lv) -> float:

@@ -3,11 +3,18 @@ sharding paths compile and execute without TPU hardware (SURVEY.md §7)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of environment: this image's sitecustomize
+# registers an 'axon' TPU backend and exports JAX_PLATFORMS=axon, which
+# would route every test through the (slow, single-chip) TPU tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

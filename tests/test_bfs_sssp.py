@@ -1,0 +1,64 @@
+"""BFS + SSSP vs serial oracles (reference src/{bfs,sssp}/verifier.cc:
+exact depth/distance equality)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import DATASETS, random_graph
+
+from gardenia_tpu import load_graph
+from gardenia_tpu.core import types as T
+from gardenia_tpu.solvers.bfs import bfs_solver
+from gardenia_tpu.solvers.sssp import sssp_solver
+from gardenia_tpu.verify import oracles
+
+
+@pytest.mark.parametrize("variant", ["pull", "do"])
+def test_bfs_chesapeake(variant):
+    g = load_graph(f"{DATASETS}/chesapeake.mtx", "mtx", symmetrize=True)
+    res = bfs_solver(g, 0, variant=variant)
+    np.testing.assert_array_equal(np.asarray(res.dist),
+                                  oracles.bfs_serial(g, 0))
+
+
+@pytest.mark.parametrize("variant", ["pull", "do"])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bfs_random(variant, seed):
+    g = random_graph(m=180, avg_deg=3, seed=seed, symmetric=True)
+    res = bfs_solver(g, 5, variant=variant)
+    np.testing.assert_array_equal(np.asarray(res.dist),
+                                  oracles.bfs_serial(g, 5))
+
+
+def test_bfs_directed_with_unreachable():
+    g = random_graph(m=120, avg_deg=2, seed=7)  # directed, sparse
+    res = bfs_solver(g, 3, variant="pull")
+    expect = oracles.bfs_serial(g, 3)
+    assert (expect == T.MYINFINITY).any()  # fixture has unreachable nodes
+    np.testing.assert_array_equal(np.asarray(res.dist), expect)
+
+
+@pytest.mark.parametrize("variant", ["bf", "delta"])
+def test_sssp_unit_weights(variant):
+    g = random_graph(m=150, avg_deg=4, seed=2, symmetric=True)
+    res = sssp_solver(g, 0, variant=variant)
+    np.testing.assert_array_equal(np.asarray(res.dist),
+                                  oracles.sssp_serial(g, 0))
+
+
+@pytest.mark.parametrize("variant", ["bf", "delta"])
+@pytest.mark.parametrize("delta", [1, 4, 64])
+def test_sssp_weighted(variant, delta):
+    g = random_graph(m=130, avg_deg=5, seed=3, weighted=True,
+                     symmetric=True)
+    res = sssp_solver(g, 2, delta, variant=variant)
+    np.testing.assert_array_equal(np.asarray(res.dist),
+                                  oracles.sssp_serial(g, 2))
+
+
+def test_sssp_directed_unreachable():
+    g = random_graph(m=90, avg_deg=2, seed=9, weighted=True)
+    res = sssp_solver(g, 0)
+    expect = oracles.sssp_serial(g, 0)
+    assert (expect == T.MYINFINITY).any()
+    np.testing.assert_array_equal(np.asarray(res.dist), expect)

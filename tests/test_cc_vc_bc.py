@@ -1,0 +1,85 @@
+"""CC / VC / BC vs serial oracles (reference src/{cc,vc,bc}/verifier.cc)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import DATASETS, random_graph
+
+from gardenia_tpu import load_graph
+from gardenia_tpu.solvers.bc import bc_solver
+from gardenia_tpu.solvers.cc import cc_solver
+from gardenia_tpu.solvers.vc import vc_solver
+from gardenia_tpu.verify import oracles
+
+
+def canonical(labels):
+    """Rename labels to first-occurrence order so labelings compare up to
+    renaming (the reference only demands label CONSISTENCY)."""
+    labels = np.asarray(labels)
+    _, first = np.unique(labels, return_index=True)
+    remap = {labels[i]: rank for rank, i in enumerate(sorted(first))}
+    return np.array([remap[x] for x in labels])
+
+
+@pytest.mark.parametrize("variant", ["sv", "afforest"])
+def test_cc_random_symmetric(variant):
+    g = random_graph(m=200, avg_deg=2, seed=5, symmetric=True)
+    res = cc_solver(g, variant=variant)
+    np.testing.assert_array_equal(canonical(res.comp),
+                                  canonical(oracles.cc_serial(g)))
+
+
+@pytest.mark.parametrize("variant", ["sv", "afforest"])
+def test_cc_directed_weak(variant):
+    g = random_graph(m=150, avg_deg=1, seed=8)  # directed, fragmented
+    res = cc_solver(g, variant=variant)
+    np.testing.assert_array_equal(canonical(res.comp),
+                                  canonical(oracles.cc_serial(g)))
+
+
+def test_cc_chesapeake():
+    g = load_graph(f"{DATASETS}/chesapeake.mtx", "mtx", symmetrize=True)
+    res = cc_solver(g)
+    assert len(np.unique(np.asarray(res.comp))) == \
+        len(np.unique(oracles.cc_serial(g)))
+
+
+def test_vc_proper_coloring():
+    g = random_graph(m=180, avg_deg=6, seed=3, symmetric=True)
+    res = vc_solver(g)
+    colors = np.asarray(res.colors)
+    assert oracles.vc_check(g, colors)
+    assert int(res.num_colors) <= 128
+    # first-fit should be reasonably tight: <= max_degree + 1
+    assert int(res.num_colors) <= g.max_degree + 1
+
+
+def test_vc_chesapeake():
+    g = load_graph(f"{DATASETS}/chesapeake.mtx", "mtx", symmetrize=True)
+    res = vc_solver(g)
+    assert oracles.vc_check(g, np.asarray(res.colors))
+
+
+def test_bc_chesapeake():
+    g = load_graph(f"{DATASETS}/chesapeake.mtx", "mtx", symmetrize=True)
+    res = bc_solver(g, 0)
+    expect = oracles.bc_serial(g, 0)
+    np.testing.assert_allclose(np.asarray(res.scores), expect,
+                               atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 4])
+def test_bc_random(seed):
+    g = random_graph(m=120, avg_deg=4, seed=seed, symmetric=True)
+    res = bc_solver(g, 7)
+    expect = oracles.bc_serial(g, 7)
+    np.testing.assert_allclose(np.asarray(res.scores), expect,
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_bc_directed():
+    g = random_graph(m=90, avg_deg=3, seed=6)  # directed
+    res = bc_solver(g, 1)
+    expect = oracles.bc_serial(g, 1)
+    np.testing.assert_allclose(np.asarray(res.scores), expect,
+                               atol=1e-4, rtol=1e-4)

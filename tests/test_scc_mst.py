@@ -1,0 +1,67 @@
+"""SCC + MST vs serial oracles (reference src/scc/verifier.cc Tarjan,
+src/mst/main.cu Boruvka total weight)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import DATASETS, random_graph
+
+from gardenia_tpu import load_graph
+from gardenia_tpu.solvers.mst import mst_solver
+from gardenia_tpu.solvers.scc import scc_solver
+from gardenia_tpu.verify import oracles
+
+
+def partitions_equal(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    _, ia = np.unique(a, return_inverse=True)
+    _, ib = np.unique(b, return_inverse=True)
+    return len(np.unique(ia * (ib.max() + 1) + ib)) == len(np.unique(ib)) \
+        and len(np.unique(ia)) == len(np.unique(ib))
+
+
+@pytest.mark.parametrize("seed,deg", [(0, 2), (1, 3), (4, 1)])
+def test_scc_random_directed(seed, deg):
+    g = random_graph(m=120, avg_deg=deg, seed=seed)
+    res = scc_solver(g)
+    assert partitions_equal(res.scc_root, oracles.scc_serial(g))
+
+
+def test_scc_fixture():
+    g = load_graph(f"{DATASETS}/test_scc.mtx", "mtx")
+    res = scc_solver(g)
+    assert partitions_equal(res.scc_root, oracles.scc_serial(g))
+
+
+def test_scc_roots_are_members():
+    g = random_graph(m=80, avg_deg=2, seed=2)
+    res = scc_solver(g)
+    root = np.asarray(res.scc_root)
+    # every root label is a vertex inside its own component
+    for v in range(g.m):
+        assert root[root[v]] == root[v]
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_mst_weighted(seed):
+    g = random_graph(m=100, avg_deg=4, seed=seed, weighted=True,
+                     symmetric=True)
+    res = mst_solver(g)
+    assert float(res.total_weight) == \
+        pytest.approx(oracles.mst_total_weight(g))
+
+
+def test_mst_fixture():
+    g = load_graph(f"{DATASETS}/test_mst.mtx", "mtx", symmetrize=True)
+    res = mst_solver(g)
+    assert float(res.total_weight) == \
+        pytest.approx(oracles.mst_total_weight(g))
+
+
+def test_mst_unweighted_forest():
+    g = random_graph(m=90, avg_deg=2, seed=5, symmetric=True)
+    res = mst_solver(g)
+    # unit weights: MSF weight == m - #components
+    comp = oracles.cc_serial(g)
+    expect = g.m - len(np.unique(comp))
+    assert float(res.total_weight) == pytest.approx(expect)

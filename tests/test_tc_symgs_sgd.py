@@ -1,0 +1,83 @@
+"""TC / SymGS / SGD correctness (reference src/{tc,symgs,sgd})."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import DATASETS, random_graph
+
+from gardenia_tpu import load_graph
+from gardenia_tpu.solvers.sgd import sgd_solver, init_latent, K
+from gardenia_tpu.solvers.symgs import symgs_solver
+from gardenia_tpu.solvers.tc import tc_solver
+from gardenia_tpu.verify import oracles, l2_error
+
+
+def test_tc_chesapeake():
+    g = load_graph(f"{DATASETS}/chesapeake.mtx", "mtx", symmetrize=True)
+    assert tc_solver(g) == oracles.tc_serial(g.oriented())
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_tc_random(seed):
+    g = random_graph(m=160, avg_deg=10, seed=seed, symmetric=True)
+    assert tc_solver(g) == oracles.tc_serial(g.oriented())
+
+
+def test_tc_small_chunk_edges():
+    g = random_graph(m=64, avg_deg=6, seed=5, symmetric=True)
+    # chunk smaller than the wedge count exercises the fori_loop path
+    assert tc_solver(g, chunk=128) == oracles.tc_serial(g.oriented())
+
+
+def test_symgs_matches_serial():
+    g = random_graph(m=120, avg_deg=5, seed=1, symmetric=True)
+    rng = np.random.default_rng(13)
+    Ax = rng.random(g.nnz).astype(np.float32)
+    x0 = rng.random(g.m).astype(np.float32)
+    b = rng.random(g.m).astype(np.float32)
+    diag = (g.degrees + 1).astype(np.float32)
+    res = symgs_solver(g, Ax, x0, b, diag)
+    # serial oracle in the reference's indices/color_offsets form
+    from gardenia_tpu.solvers.vc import vc_solver
+    colors = np.asarray(vc_solver(g).colors)
+    order = np.argsort(colors, kind="stable")
+    counts = np.bincount(colors, minlength=colors.max() + 1)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    expect = oracles.symgs_serial(g, order, Ax, diag, x0, b, offsets)
+    assert l2_error(np.asarray(res.x), expect) < 1e-4
+
+
+def test_sgd_rmse_decreases_and_tracks_serial():
+    g = random_graph(m=80, avg_deg=6, seed=3, weighted=True)
+    res = sgd_solver(g, max_iters=5, epsilon=0.0)
+    rmse = np.asarray(res.rmse)[:int(res.iterations)]
+    assert len(rmse) == 5
+    # training reduces the objective
+    final = oracles.sgd_rmse(g.rowptr, g.colidx,
+                             np.asarray(g.weights, np.float32),
+                             np.asarray(res.user_lv),
+                             np.asarray(res.item_lv))
+    assert final < rmse[0]
+    assert rmse[-1] < rmse[0]
+
+
+def test_sgd_gradient_matches_manual():
+    """One step of the jax.grad update equals the hand-written
+    synchronous form of the reference's per-edge update."""
+    g = random_graph(m=40, avg_deg=4, seed=7, weighted=True)
+    lam, step = 0.05, 0.003
+    res = sgd_solver(g, lam, step, max_iters=1, epsilon=0.0)
+    ulv0 = init_latent(g.m, 0)
+    ilv0 = init_latent(max(g.n, int(g.colidx.max()) + 1), 1)
+    src = np.repeat(np.arange(g.m), np.diff(g.rowptr))
+    dst = g.colidx
+    r = np.asarray(g.weights, np.float32)
+    delta = r - np.einsum("ek,ek->e", ulv0[src], ilv0[dst])
+    gu = np.zeros_like(ulv0)
+    gi = np.zeros_like(ilv0)
+    np.add.at(gu, src, -delta[:, None] * ilv0[dst] + lam * ulv0[src])
+    np.add.at(gi, dst, -delta[:, None] * ulv0[src] + lam * ilv0[dst])
+    np.testing.assert_allclose(np.asarray(res.user_lv), ulv0 - step * gu,
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(res.item_lv), ilv0 - step * gi,
+                               rtol=2e-4, atol=2e-6)
