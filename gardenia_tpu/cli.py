@@ -215,6 +215,69 @@ def run_sgd(args, variant="base"):
     check(bool(rmse[int(res.iterations) - 1] <= rmse[0]))
 
 
+def run_kcl(args, variant="base"):
+    """Usage parity: kcl <filetype> <prefix> <k>
+    (mining/kcl_dfs driver)."""
+    print("k-Clique Listing by gardenia_tpu")
+    g, rest = _load(args, symmetrize_default=True)
+    k = int(rest[0]) if rest else 4
+    from gardenia_tpu.mining.kcl import kcl_solver, kcl_verifier
+    total, secs = time_op(lambda: kcl_solver(g, k))
+    report_runtime(variant, secs)
+    print(f"total_num_cliques = {total}")
+    if g.m <= 5000:
+        check(total == kcl_verifier(g, k))
+    else:
+        print("(verification skipped: graph too large for serial oracle)")
+
+
+def run_motif(args, variant="formula"):
+    print("Motif Counting by gardenia_tpu")
+    g, rest = _load(args, symmetrize_default=True)
+    k = int(rest[0]) if rest else 3
+    from gardenia_tpu.mining.motif import (motif_solver,
+                                           motif_census_bruteforce)
+    census, secs = time_op(lambda: motif_solver(g, k))
+    report_runtime(variant, secs)
+    for name, cnt in census.items():
+        print(f"{name}: {cnt}")
+    if g.m <= 80:
+        check(census == motif_census_bruteforce(g, k))
+    else:
+        print("(verification skipped: graph too large for brute force)")
+
+
+def run_sgl(args, variant="base"):
+    print("Subgraph Listing by gardenia_tpu")
+    g, rest = _load(args, symmetrize_default=True)
+    pattern = rest[0] if rest else "diamond"
+    from gardenia_tpu.mining.sgl import sgl_solver, sgl_verifier
+    total, secs = time_op(lambda: sgl_solver(g, pattern))
+    report_runtime(variant, secs)
+    print(f"total_num_{pattern} = {total}")
+    if g.m <= 40:
+        check(total == sgl_verifier(g, pattern))
+    else:
+        print("(verification skipped: graph too large for brute force)")
+
+
+def run_fsm(args, variant="base"):
+    """Usage parity: fsm <filetype> <filename> <minsup> <max-size>
+    (mining/fsm/main.cc:9-11)."""
+    print("Frequent Subgraph Mining by gardenia_tpu")
+    g, rest = _load(args[:2] + ["1"], symmetrize_default=True)
+    minsup = int(args[2]) if len(args) > 2 else 2
+    k = int(args[3]) if len(args) > 3 else 2
+    print(f"minsup = {minsup}")
+    print(f"k = {k}")
+    from gardenia_tpu.mining.fsm import fsm_solver, fsm_verifier
+    total, secs = time_op(lambda: fsm_solver(g, k, minsup))
+    report_runtime(variant, secs)
+    print(f"Number of frequent subgraphs (minsup={minsup}): {total}")
+    if g.m <= 5000:
+        check(total == fsm_verifier(g, k, minsup))
+
+
 KERNELS = {
     "pr": run_pr,
     "spmv": run_spmv,
@@ -228,6 +291,10 @@ KERNELS = {
     "mst": run_mst,
     "symgs": run_symgs,
     "sgd": run_sgd,
+    "kcl": run_kcl,
+    "motif": run_motif,
+    "sgl": run_sgl,
+    "fsm": run_fsm,
 }
 
 

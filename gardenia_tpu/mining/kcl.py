@@ -1,0 +1,134 @@
+"""kCL — k-clique counting on the degree-ordered DAG.
+
+Reference: mining/kcl_dfs/{kcl.h,omp_base.cc} (DFS with cmap + EmbList),
+mining/kcl_bfs/base.cu (BFS-style embedding expansion with CUB scans).
+The BFS formulation is the TPU-friendly one (SURVEY.md §7.7): fixed-width
+embedding arrays, expansion + filter + prefix-sum compaction per level —
+the thread-local cmap8_t connectivity map becomes vectorized binary-search
+membership tests (ops/intersect.py).
+
+Key invariant: in the DAG every k-clique has exactly one topological
+order a->b->...->z, and all later members lie in N+(a).  So a level-l
+embedding (v1..vl) extends with x in N+(v1) such that x in N+(vi) for all
+i >= 2 — each clique is generated exactly once (no canonicality checks
+needed, same argument as kcl.h:17-21).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _expand_level(rowptr, colidx, nnz, n_members, count_only, chunk):
+    """Build the jitted chunk expander for embeddings with n_members
+    vertices: wedge j = (embedding e, slot k into N+(v1))."""
+
+    @partial(jax.jit, static_argnames=())
+    def step(members, cum, start, total):
+        # members: (n_members, N) embedding vertex columns
+        j = start + jnp.arange(chunk, dtype=jnp.int64)
+        e = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+        e = jnp.minimum(e, members.shape[1] - 1)
+        base = jnp.where(e > 0, cum[jnp.maximum(e - 1, 0)], 0)
+        k_off = (j - base).astype(jnp.int32)
+        v1 = members[0, e]
+        x = colidx[jnp.minimum(rowptr[v1] + k_off, nnz - 1)]
+        ok = j < total
+        for i in range(1, n_members):
+            vi = members[i, e]
+            ok = ok & _member(rowptr, colidx, nnz, x, vi)
+        if count_only:
+            return jnp.sum(ok.astype(jnp.int32))
+        idx = jnp.nonzero(ok, size=chunk, fill_value=chunk - 1)[0]
+        n_new = jnp.sum(ok.astype(jnp.int32))
+        new_members = jnp.concatenate(
+            [members[:, e[idx]], x[idx][None, :]], axis=0)
+        return new_members, n_new
+
+    return step
+
+
+def _member(rowptr, colidx, nnz, queries, rows):
+    lo = rowptr[rows]
+    hi = rowptr[rows + 1]
+
+    def body(_, state):
+        lo, hi = state
+        active = lo < hi
+        mid = (lo + hi) // 2
+        v = colidx[jnp.clip(mid, 0, nnz - 1)]
+        right = v < queries
+        return (jnp.where(active & right, mid + 1, lo),
+                jnp.where(active & ~right, mid, hi))
+
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    return (lo < rowptr[rows + 1]) & \
+        (colidx[jnp.clip(lo, 0, nnz - 1)] == queries)
+
+
+def kcl_solver(g, k: int, *, chunk: int = 1 << 18) -> int:
+    """Reference entry KCLSolver(g, k, total, nthreads)
+    (mining/kcl_dfs/kcl.h:28). g: undirected (symmetric) graph; the DAG
+    orientation is applied internally like the reference driver."""
+    assert k >= 3
+    dag = g.oriented()
+    if dag.nnz == 0:
+        return 0
+    rowptr, colidx = dag.device_csr()
+    nnz = dag.nnz
+    deg = np.diff(dag.rowptr)
+
+    # level-2 embeddings = DAG edges
+    src = np.repeat(np.arange(dag.m, dtype=np.int32), deg)
+    members = np.stack([src, np.asarray(dag.colidx)])   # (2, E)
+    total = 0
+    for level in range(2, k):
+        count_only = level == k - 1
+        wedge_per_emb = deg[members[0]]
+        cum = np.cumsum(wedge_per_emb, dtype=np.int64)
+        total_wedges = int(cum[-1]) if len(cum) else 0
+        if total_wedges == 0:
+            return 0
+        members_d = jnp.asarray(members)
+        cum_d = jnp.asarray(cum)
+        step = _expand_level(rowptr, colidx, nnz, level, count_only, chunk)
+        outs: List[np.ndarray] = []
+        for start in range(0, total_wedges, chunk):
+            if count_only:
+                total += int(step(members_d, cum_d, start, total_wedges))
+            else:
+                new_m, n_new = step(members_d, cum_d, start, total_wedges)
+                n_new = int(n_new)
+                if n_new:
+                    outs.append(np.asarray(new_m)[:, :n_new])
+        if not count_only:
+            if not outs:
+                return 0
+            members = np.concatenate(outs, axis=1)
+    return total
+
+
+def kcl_verifier(g, k: int) -> int:
+    """Serial oracle: DFS clique extension over the DAG (the reference
+    verifier re-runs the solver serially, mining/kcl_dfs/verifier.cc)."""
+    dag = g.oriented()
+    rp, ci = dag.rowptr, dag.colidx
+    neigh = [set(ci[rp[v]:rp[v + 1]].tolist()) for v in range(dag.m)]
+
+    def extend(members, cands, depth):
+        if depth == k:
+            return len(cands)
+        total = 0
+        for x in cands:
+            total += extend(members + [x], cands & neigh[x], depth + 1)
+        return total
+
+    total = 0
+    for v in range(dag.m):
+        total += extend([v], neigh[v], 2)
+    return total

@@ -1,0 +1,181 @@
+"""Motif — k-motif counting (connected induced-pattern census).
+
+Reference: mining/motif_dfs/{omp_base.cc,omp_formula.cc,ccode_formula.h},
+mining/motif_bfs.  The formula variant (omp_formula) derives the census
+from aggregate quantities instead of enumerating embeddings — the natural
+TPU fit: every aggregate below is one dense pass or one chunked
+binary-search sweep.
+
+Induced counts via Moebius inversion over non-induced counts
+(ESCAPE-style identities, each verified by the unit tests against a
+brute-force census):
+
+  3-census: W = sum_v C(deg,2);  T = triangles
+    wedge(path-3)  = W - 3T
+  4-census, from per-edge triangle counts t(e), codegrees, K4:
+    D_non  = sum_e C(t(e), 2)                 (triangle pairs per edge)
+    C_non  = sum_{u<w} C(codeg(u,w), 2) / 2   (cycle quadruples)
+    TT_non = sum_v tri(v) * (deg(v) - 2)
+    S_non  = sum_v C(deg(v), 3)
+    P_non  = sum_e (deg(u)-1)(deg(v)-1) - 3T
+    clique  K4    = kcl(4)
+    diamond D     = D_non - 6 K4
+    cycle   C4    = C_non - D_non + 3 K4
+    tailed  TT    = TT_non - 4 D - 12 K4
+    claw    S     = S_non - TT - 2 D - 4 K4
+    path    P4    = P_non - 2 TT - 4 C4 - 6 D - 12 K4
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gardenia_tpu.mining.kcl import kcl_solver
+from gardenia_tpu.solvers.tc import tc_solver
+
+
+def edge_triangle_counts(g, chunk: int = 1 << 20) -> np.ndarray:
+    """tri(e) = |N(u) ∩ N(v)| per DIRECTED edge slot of the symmetric
+    graph (both directions carry the same count).  Chunked wedge sweep
+    with binary-search membership, accumulated per edge by scatter-add."""
+    m, nnz = g.m, g.nnz
+    if nnz == 0:
+        return np.zeros(0, np.int32)
+    rowptr, colidx = g.device_csr()
+    deg = np.diff(g.rowptr)
+    src_h = np.repeat(np.arange(m, dtype=np.int32), deg)
+    cum = np.cumsum(deg[src_h], dtype=np.int64)
+    total = int(cum[-1])
+    cum_d = jnp.asarray(cum)
+    src_d = jnp.asarray(src_h)
+
+    @jax.jit
+    def step(start, tri):
+        j = start + jnp.arange(chunk, dtype=jnp.int64)
+        e = jnp.searchsorted(cum_d, j, side="right").astype(jnp.int32)
+        e = jnp.minimum(e, nnz - 1)
+        base = jnp.where(e > 0, cum_d[jnp.maximum(e - 1, 0)], 0)
+        k = (j - base).astype(jnp.int32)
+        u = src_d[e]
+        v = colidx[e]
+        w = colidx[jnp.minimum(rowptr[u] + k, nnz - 1)]
+        valid = (j < total) & (w != v)
+        lo, hi = rowptr[v], rowptr[v + 1]
+
+        def body(_, st):
+            lo, hi = st
+            act = lo < hi
+            mid = (lo + hi) // 2
+            val = colidx[jnp.clip(mid, 0, nnz - 1)]
+            right = val < w
+            return (jnp.where(act & right, mid + 1, lo),
+                    jnp.where(act & ~right, mid, hi))
+
+        lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+        found = (lo < rowptr[v + 1]) & \
+            (colidx[jnp.clip(lo, 0, nnz - 1)] == w)
+        return tri.at[e].add((valid & found).astype(jnp.int32))
+
+    tri = jnp.zeros((nnz,), jnp.int32)
+    for start in range(0, total, chunk):
+        tri = step(start, tri)
+    return np.asarray(tri)
+
+
+def codegree_cycle_quads(g) -> int:
+    """C_non = sum over unordered non-center pairs of C(codeg, 2) / 2.
+
+    Enumerates wedges per center and counts duplicate endpoint pairs.
+    Host implementation (sort-based); device chunking is a perf TODO."""
+    m = g.m
+    rp, ci = g.rowptr, np.asarray(g.colidx, dtype=np.int64)
+    keys = []
+    for v in range(m):
+        nb = ci[rp[v]:rp[v + 1]]
+        if len(nb) < 2:
+            continue
+        iu, iw = np.triu_indices(len(nb), k=1)
+        keys.append(nb[iu] * m + nb[iw])
+    if not keys:
+        return 0
+    _, counts = np.unique(np.concatenate(keys), return_counts=True)
+    return int((counts.astype(object) * (counts - 1) // 2).sum()) // 2
+
+
+def motif_solver(g, k: int = 3) -> Dict[str, int]:
+    """Reference entry MotifSolver (mining/motif_dfs).  g symmetric.
+    Returns the induced census dict for k in {3, 4}."""
+    deg = np.diff(g.rowptr).astype(np.int64)
+    t3 = tc_solver(g)
+    if k == 3:
+        wedges = int((deg * (deg - 1) // 2).sum())
+        return {"3-path": wedges - 3 * t3, "3-triangle": t3}
+    if k != 4:
+        raise ValueError("motif_solver supports k in {3, 4}")
+    tri_e = edge_triangle_counts(g).astype(np.int64)
+    k4 = kcl_solver(g, 4)
+    src = np.repeat(np.arange(g.m, dtype=np.int64), np.diff(g.rowptr))
+    dst = np.asarray(g.colidx, dtype=np.int64)
+    # per-directed-edge aggregates summed once per undirected edge (//2)
+    d_non = int((tri_e * (tri_e - 1) // 2).sum()) // 2
+    c_non = codegree_cycle_quads(g)
+    tri_v = np.zeros(g.m, np.int64)
+    np.add.at(tri_v, src, tri_e)
+    tri_v //= 2
+    tt_non = int((tri_v * (deg - 2)).sum())
+    s_non = int((deg * (deg - 1) * (deg - 2) // 6).sum())
+    p_non = int(((deg[src] - 1) * (deg[dst] - 1)).sum()) // 2 - 3 * t3
+
+    diamond = d_non - 6 * k4
+    cycle4 = c_non - d_non + 3 * k4
+    tailed = tt_non - 4 * diamond - 12 * k4
+    claw = s_non - tailed - 2 * diamond - 4 * k4
+    path4 = p_non - 2 * tailed - 4 * cycle4 - 6 * diamond - 12 * k4
+    return {"4-path": path4, "4-star": claw, "4-cycle": cycle4,
+            "4-tailed-triangle": tailed, "4-diamond": diamond,
+            "4-clique": k4}
+
+
+def motif_census_bruteforce(g, k: int) -> Dict[str, int]:
+    """Brute-force induced census oracle for tests (k=3 or 4)."""
+    import itertools
+    m = g.m
+    rp, ci = g.rowptr, g.colidx
+    adj = [set(ci[rp[v]:rp[v + 1]].tolist()) for v in range(m)]
+
+    def etype(sub):
+        edges = sum(1 for a, b in itertools.combinations(sub, 2)
+                    if b in adj[a])
+        degs = sorted(sum(1 for b in sub if b in adj[a] and b != a)
+                      for a in sub)
+        return edges, tuple(degs)
+
+    counts: Dict[str, int] = {}
+    if k == 3:
+        names = {(2, (1, 1, 2)): "3-path", (3, (2, 2, 2)): "3-triangle"}
+        for sub in itertools.combinations(range(m), 3):
+            key = etype(sub)
+            if key in names:
+                counts[names[key]] = counts.get(names[key], 0) + 1
+        for v in names.values():
+            counts.setdefault(v, 0)
+        return counts
+    names = {
+        (3, (1, 1, 2, 2)): "4-path",
+        (3, (1, 1, 1, 3)): "4-star",
+        (4, (2, 2, 2, 2)): "4-cycle",
+        (4, (1, 2, 2, 3)): "4-tailed-triangle",
+        (5, (2, 2, 3, 3)): "4-diamond",
+        (6, (3, 3, 3, 3)): "4-clique",
+    }
+    for sub in itertools.combinations(range(m), 4):
+        key = etype(sub)
+        if key in names:
+            counts[names[key]] = counts.get(names[key], 0) + 1
+    for v in names.values():
+        counts.setdefault(v, 0)
+    return counts

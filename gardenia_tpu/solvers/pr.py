@@ -77,18 +77,24 @@ def pr_solver(g, *, epsilon: float = EPSILON, max_iter: int = MAX_ITER,
     src/pr/main.cc:15 'Graph g(..., 1)').
     """
     m = g.m
-    out_deg = g.device_degrees()
-    if variant == "pull":
-        ell = g.ell(reverse=True)
-        spmv_fn = partial(spmv_ell, ell, semiring=F32_PLUS_TIMES,
-                          num_rows=m)
-    elif variant == "push":
-        src, dst = g.device_coo()
-        spmv_fn = lambda x: spmv_segment(dst, src, None, x,  # noqa: E731
-                                         semiring=F32_PLUS_TIMES, num_rows=m)
-    else:
-        raise ValueError(f"unknown PR variant {variant!r}")
-    run = jax.jit(_pr_loop(spmv_fn, out_deg, m, epsilon, max_iter))
+
+    def build():
+        out_deg = g.device_degrees()
+        if variant == "pull":
+            ell = g.ell(reverse=True)
+            spmv_fn = partial(spmv_ell, ell, semiring=F32_PLUS_TIMES,
+                              num_rows=m)
+        elif variant == "push":
+            src, dst = g.device_coo()
+            spmv_fn = lambda x: spmv_segment(       # noqa: E731
+                dst, src, None, x, semiring=F32_PLUS_TIMES, num_rows=m)
+        else:
+            raise ValueError(f"unknown PR variant {variant!r}")
+        return jax.jit(_pr_loop(spmv_fn, out_deg, m, epsilon, max_iter))
+
+    # cache the jitted runner on the graph so repeated solves (warmup +
+    # timed benchmark runs) reuse the compiled executable
+    run = g._dev(("pr_run", variant, epsilon, max_iter), build)
     scores0 = jnp.full((m,), np.float32(1.0 / m))
     return run(scores0)
 

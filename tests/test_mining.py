@@ -1,0 +1,66 @@
+"""Mining layer: kCL, motif census, SGL patterns vs brute-force oracles
+(reference mining/{kcl_dfs,motif_dfs,sgl})."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import DATASETS, random_graph
+
+from gardenia_tpu import load_graph
+from gardenia_tpu.mining.kcl import kcl_solver, kcl_verifier
+from gardenia_tpu.mining.motif import motif_solver, motif_census_bruteforce
+from gardenia_tpu.mining.sgl import sgl_solver, sgl_verifier
+
+
+@pytest.mark.parametrize("k", [3, 4, 5])
+def test_kcl_chesapeake(k):
+    g = load_graph(f"{DATASETS}/chesapeake.mtx", "mtx", symmetrize=True)
+    assert kcl_solver(g, k) == kcl_verifier(g, k)
+
+
+@pytest.mark.parametrize("k", [3, 4])
+def test_kcl_random(k):
+    g = random_graph(m=70, avg_deg=8, seed=1, symmetric=True)
+    assert kcl_solver(g, k) == kcl_verifier(g, k)
+
+
+def test_kcl_small_chunk():
+    g = random_graph(m=50, avg_deg=8, seed=2, symmetric=True)
+    assert kcl_solver(g, 4, chunk=64) == kcl_verifier(g, 4)
+
+
+def test_motif3_random():
+    g = random_graph(m=40, avg_deg=5, seed=3, symmetric=True)
+    got = motif_solver(g, 3)
+    expect = motif_census_bruteforce(g, 3)
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", [0, 4])
+def test_motif4_random(seed):
+    g = random_graph(m=28, avg_deg=6, seed=seed, symmetric=True)
+    got = motif_solver(g, 4)
+    expect = motif_census_bruteforce(g, 4)
+    assert got == expect
+
+
+@pytest.mark.parametrize("pattern",
+                         ["diamond", "rectangle", "pentagon", "house"])
+def test_sgl_random(pattern):
+    g = random_graph(m=26, avg_deg=5, seed=5, symmetric=True)
+    assert sgl_solver(g, pattern) == sgl_verifier(g, pattern)
+
+
+@pytest.mark.parametrize("k,minsup", [(1, 2), (2, 3)])
+def test_fsm_random(k, minsup):
+    from gardenia_tpu.mining.fsm import fsm_solver, fsm_verifier
+    g = random_graph(m=45, avg_deg=4, seed=7, symmetric=True)
+    labels = np.random.default_rng(7).integers(0, 3, g.m)
+    assert fsm_solver(g, k, minsup, labels) == \
+        fsm_verifier(g, k, minsup, labels)
+
+
+def test_sgl_diamond_formula_vs_enum():
+    g = random_graph(m=60, avg_deg=6, seed=6, symmetric=True)
+    assert sgl_solver(g, "diamond", use_formula=True) == \
+        sgl_solver(g, "diamond", use_formula=False)
