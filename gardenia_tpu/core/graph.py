@@ -208,12 +208,14 @@ def load_graph(prefix: str, filetype: str = "auto", symmetrize: bool = False,
             filetype = ext if ext in ("mtx", "gr", "graph", "el") else "mtx"
     if filetype == "bin":
         rowptr, colidx, vlabels = io.read_bin_csr(prefix)
-        g = Graph(rowptr, colidx, symmetric=symmetrize,
-                  need_reverse=need_reverse, vlabels=vlabels)
         if symmetrize:
-            # bin graphs are stored pre-symmetrized by the converter
-            g.symmetric = True
-        return g
+            src, dst = build.csr_to_coo(rowptr, colidx)
+            src, dst, _ = build.clean_edges(src, dst, num_rows=len(rowptr) - 1,
+                                            symmetrize=True)
+            rowptr, colidx, _ = build.coo_to_csr(len(rowptr) - 1, src, dst,
+                                                 sorted_by_src=True)
+        return Graph(rowptr, colidx, symmetric=symmetrize,
+                     need_reverse=need_reverse, vlabels=vlabels)
     path = prefix if os.path.splitext(prefix)[1] else f"{prefix}.{filetype}"
     edges = io.parse_text(path, filetype)
     return from_edges(edges, symmetrize=symmetrize,

@@ -207,10 +207,39 @@ _PARSERS = {
 }
 
 
-def parse_text(path: str, filetype: Optional[str] = None) -> EdgeListData:
-    """Dispatch on extension like reference read_graph (graph_io.h:357-366)."""
+def parse_text(path: str, filetype: Optional[str] = None,
+               prefer_native: bool = True) -> EdgeListData:
+    """Dispatch on extension like reference read_graph (graph_io.h:357-366).
+
+    Large files go through the native C++ single-pass scanner
+    (gardenia_tpu/native/graph_io.cpp) when it is available; the NumPy
+    parsers are the fallback and the behavioral reference."""
     if filetype is None:
         filetype = os.path.splitext(path)[1].lstrip(".")
     if filetype not in _PARSERS:
         raise ValueError(f"unrecognized graph format: {filetype} ({path})")
-    return _PARSERS[filetype](path)
+    if prefer_native:
+        try:
+            from gardenia_tpu import native
+            res = native.parse_edges(path, filetype)
+        except Exception:
+            res = None
+        if res is not None:
+            m, n, src, dst, wt = res
+            symmetric = False
+            if filetype == "mtx":
+                with open(path) as f:
+                    symmetric = "symmetric" in f.readline()
+            return _fix_base(EdgeListData(m, n, src, dst, wt, symmetric))
+    return _fix_base(_PARSERS[filetype](path))
+
+
+def _fix_base(e: EdgeListData) -> EdgeListData:
+    """Handle 0-indexed inputs: formats are nominally 1-indexed, but
+    some files in the wild (e.g. the reference's own datasets/4.gr) are
+    0-indexed — after the standard -1 shift those show a -1 vertex, so
+    shift back.  (The reference's gr2csr would underflow on such files.)"""
+    if len(e.src) and (e.src.min() < 0 or e.dst.min() < 0):
+        e.src = e.src + 1
+        e.dst = e.dst + 1
+    return e

@@ -1,0 +1,63 @@
+"""Native C++ parser parity vs the NumPy reference parsers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import DATASETS, TEST_GRAPHS
+
+from gardenia_tpu import native
+from gardenia_tpu.core import io
+
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+FIXTURES = [
+    (f"{DATASETS}/chesapeake.mtx", "mtx"),
+    (f"{DATASETS}/4.mtx", "mtx"),
+    (f"{DATASETS}/4w.mtx", "mtx"),
+    (f"{TEST_GRAPHS}/pr.mtx", "mtx"),
+    (f"{DATASETS}/4.gr", "gr"),
+    (f"{DATASETS}/4.graph", "graph"),
+    (f"{DATASETS}/test_mst.mtx", "mtx"),
+]
+
+
+@pytest.mark.parametrize("path,fmt", FIXTURES)
+def test_native_matches_numpy(path, fmt):
+    ref = io._PARSERS[fmt](path)
+    res = native.parse_edges(path, fmt)
+    assert res is not None
+    m, n, src, dst, wt = res
+    assert (m, n) == (ref.num_rows, ref.num_cols)
+    np.testing.assert_array_equal(src, ref.src)
+    np.testing.assert_array_equal(dst, ref.dst)
+    if ref.wt is None:
+        assert wt is None or fmt == "gr"  # numpy gr parser keeps weights
+    else:
+        np.testing.assert_allclose(wt, ref.wt)
+
+
+def test_parse_text_uses_native(tmp_path):
+    # round-trip through the public loader must be identical either way
+    path = f"{DATASETS}/chesapeake.mtx"
+    a = io.parse_text(path, "mtx", prefer_native=True)
+    b = io.parse_text(path, "mtx", prefer_native=False)
+    np.testing.assert_array_equal(a.src, b.src)
+    np.testing.assert_array_equal(a.dst, b.dst)
+    assert a.mtx_symmetric == b.mtx_symmetric
+
+
+def test_converter_cli(tmp_path):
+    from gardenia_tpu.tools.converter import main
+    prefix = str(tmp_path / "out")
+    main([f"{DATASETS}/chesapeake.mtx", prefix, "--symmetrize",
+          "--labels=degree"])
+    from gardenia_tpu import load_graph
+    g = load_graph(prefix, "bin")
+    g2 = load_graph(f"{DATASETS}/chesapeake.mtx", "mtx", symmetrize=True)
+    np.testing.assert_array_equal(g.rowptr, g2.rowptr)
+    np.testing.assert_array_equal(g.colidx, g2.colidx)
+    assert g.vlabels is not None and len(g.vlabels) == g.m
