@@ -75,16 +75,66 @@ def bench_spmv(scale: int):
             "detail": {"ms": round(secs * 1e3, 3), "nnz": g.nnz}}
 
 
+BASELINE_BFS_GTEPS = 30.0   # A100-class linear_lb BFS on LiveJournal
+BASELINE_CC_MS_PER_MEDGE = 1.0  # A100-class afforest ~1 ms / M edges
+BASELINE_TC_MEPS = 2000.0   # A100-class warp-intersection TC rate
+
+
+def bench_bfs(scale: int):
+    from gardenia_tpu.solvers.bfs import bfs_solver
+    from gardenia_tpu.utils.timer import time_op
+    g = get_graph(scale, need_reverse=True)
+    res, secs = time_op(lambda: bfs_solver(g, 0, variant="pull"),
+                        warmup=1, iters=3)
+    gteps = g.nnz * int(res.iterations) / secs / 1e9
+    return {"metric": f"bfs_pull_gteps_rmat{scale}",
+            "value": round(gteps, 4), "unit": "GTEPS",
+            "vs_baseline": round(gteps / BASELINE_BFS_GTEPS, 4),
+            "detail": {"levels": int(res.iterations),
+                       "ms": round(secs * 1e3, 3), "nnz": g.nnz}}
+
+
+def bench_cc(scale: int):
+    from gardenia_tpu.solvers.cc import cc_solver
+    from gardenia_tpu.utils.timer import time_op
+    g = get_graph(scale, need_reverse=False)
+    res, secs = time_op(lambda: cc_solver(g, variant="afforest"),
+                        warmup=1, iters=3)
+    ms_per_medge = secs * 1e3 / (g.nnz / 1e6)
+    return {"metric": f"cc_afforest_ms_rmat{scale}",
+            "value": round(secs * 1e3, 3), "unit": "ms",
+            "vs_baseline": round(BASELINE_CC_MS_PER_MEDGE / ms_per_medge,
+                                 4),
+            "detail": {"rounds": int(res.iterations), "nnz": g.nnz}}
+
+
+def bench_tc(scale: int):
+    from gardenia_tpu.solvers.tc import tc_solver
+    from gardenia_tpu.utils.timer import time_op
+    g = get_graph(scale, need_reverse=False)
+    total, secs = time_op(lambda: tc_solver(g), warmup=1, iters=2)
+    meps = g.nnz / secs / 1e6
+    return {"metric": f"tc_meps_rmat{scale}", "value": round(meps, 2),
+            "unit": "M edges/s",
+            "vs_baseline": round(meps / BASELINE_TC_MEPS, 4),
+            "detail": {"triangles": int(total),
+                       "ms": round(secs * 1e3, 3), "nnz": g.nnz}}
+
+
+KERNELS = {"pr": bench_pr, "spmv": bench_spmv, "bfs": bench_bfs,
+           "cc": bench_cc, "tc": bench_tc}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=20)
-    ap.add_argument("--kernel", default="pr", choices=["pr", "spmv"])
+    ap.add_argument("--kernel", default="pr", choices=sorted(KERNELS))
     ap.add_argument("--quick", action="store_true",
                     help="scale 16 for smoke runs")
     args = ap.parse_args()
     scale = 16 if args.quick else args.scale
     t0 = time.time()
-    result = bench_pr(scale) if args.kernel == "pr" else bench_spmv(scale)
+    result = KERNELS[args.kernel](scale)
     result["detail"]["total_s"] = round(time.time() - t0, 1)
     print(json.dumps(result))
 

@@ -27,8 +27,16 @@ from gardenia_tpu.verify import oracles, maximum_relative_error, check
 def _load(args, symmetrize_default=False, need_reverse=False):
     filetype, prefix = args[0], args[1]
     symmetrize = bool(int(args[2])) if len(args) > 2 else symmetrize_default
-    g = load_graph(prefix, filetype, symmetrize=symmetrize,
-                   need_reverse=need_reverse)
+    if filetype in ("rmat", "uniform"):
+        # GAP-style synthetic graphs (reference include/command_line.h
+        # '-g'/'-u' scale flags, include/generator.h): prefix is the scale
+        from gardenia_tpu.core.generate import generate_graph
+        g = generate_graph(filetype, scale=int(prefix),
+                           symmetrize=symmetrize or symmetrize_default,
+                           need_reverse=need_reverse)
+    else:
+        g = load_graph(prefix, filetype, symmetrize=symmetrize,
+                       need_reverse=need_reverse)
     print(f"|V| {g.m} |E| {g.nnz}")
     return g, args[3:]
 

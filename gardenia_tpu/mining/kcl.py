@@ -30,17 +30,20 @@ def _expand_level(rowptr, colidx, nnz, n_members, count_only, chunk):
 
     @partial(jax.jit, static_argnames=())
     def step(members, cum, start, total):
+        from gardenia_tpu.ops import rowsel
         # members: (n_members, N) embedding vertex columns
         j = start + jnp.arange(chunk, dtype=jnp.int64)
         e = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
         e = jnp.minimum(e, members.shape[1] - 1)
         base = jnp.where(e > 0, cum[jnp.maximum(e - 1, 0)], 0)
         k_off = (j - base).astype(jnp.int32)
-        v1 = members[0, e]
-        x = colidx[jnp.minimum(rowptr[v1] + k_off, nnz - 1)]
+        v1 = rowsel.take(members[0], e)
+        x = rowsel.take(colidx,
+                        jnp.minimum(rowsel.take(rowptr, v1) + k_off,
+                                    nnz - 1))
         ok = j < total
         for i in range(1, n_members):
-            vi = members[i, e]
+            vi = rowsel.take(members[i], e)
             ok = ok & _member(rowptr, colidx, nnz, x, vi)
         if count_only:
             return jnp.sum(ok.astype(jnp.int32))
@@ -54,21 +57,26 @@ def _expand_level(rowptr, colidx, nnz, n_members, count_only, chunk):
 
 
 def _member(rowptr, colidx, nnz, queries, rows):
-    lo = rowptr[rows]
-    hi = rowptr[rows + 1]
+    from gardenia_tpu.ops import rowsel
+    col2d = rowsel.to_rows(colidx, nnz, 0)
+    lo = rowsel.take(rowptr, rows)
+    end = rowsel.take(rowptr, rows + 1)
+    hi = end
 
     def body(_, state):
         lo, hi = state
         active = lo < hi
         mid = (lo + hi) // 2
-        v = colidx[jnp.clip(mid, 0, nnz - 1)]
+        v = rowsel.gather(col2d, jnp.clip(mid, 0, nnz - 1),
+                          acc_dtype=jnp.int32)
         right = v < queries
         return (jnp.where(active & right, mid + 1, lo),
                 jnp.where(active & ~right, mid, hi))
 
     lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
-    return (lo < rowptr[rows + 1]) & \
-        (colidx[jnp.clip(lo, 0, nnz - 1)] == queries)
+    return (lo < end) & \
+        (rowsel.gather(col2d, jnp.clip(lo, 0, nnz - 1),
+                       acc_dtype=jnp.int32) == queries)
 
 
 def kcl_solver(g, k: int, *, chunk: int = 1 << 18) -> int:

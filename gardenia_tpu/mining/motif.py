@@ -53,31 +53,22 @@ def edge_triangle_counts(g, chunk: int = 1 << 20) -> np.ndarray:
     cum_d = jnp.asarray(cum)
     src_d = jnp.asarray(src_h)
 
+    from gardenia_tpu.mining.kcl import _member
+
     @jax.jit
     def step(start, tri):
+        from gardenia_tpu.ops import rowsel
         j = start + jnp.arange(chunk, dtype=jnp.int64)
         e = jnp.searchsorted(cum_d, j, side="right").astype(jnp.int32)
         e = jnp.minimum(e, nnz - 1)
         base = jnp.where(e > 0, cum_d[jnp.maximum(e - 1, 0)], 0)
         k = (j - base).astype(jnp.int32)
-        u = src_d[e]
-        v = colidx[e]
-        w = colidx[jnp.minimum(rowptr[u] + k, nnz - 1)]
+        u = rowsel.take(src_d, e)
+        v = rowsel.take(colidx, e)
+        w = rowsel.take(colidx, jnp.minimum(rowsel.take(rowptr, u) + k,
+                                            nnz - 1))
         valid = (j < total) & (w != v)
-        lo, hi = rowptr[v], rowptr[v + 1]
-
-        def body(_, st):
-            lo, hi = st
-            act = lo < hi
-            mid = (lo + hi) // 2
-            val = colidx[jnp.clip(mid, 0, nnz - 1)]
-            right = val < w
-            return (jnp.where(act & right, mid + 1, lo),
-                    jnp.where(act & ~right, mid, hi))
-
-        lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
-        found = (lo < rowptr[v + 1]) & \
-            (colidx[jnp.clip(lo, 0, nnz - 1)] == w)
+        found = _member(rowptr, colidx, nnz, w, v)
         return tri.at[e].add((valid & found).astype(jnp.int32))
 
     tri = jnp.zeros((nnz,), jnp.int32)

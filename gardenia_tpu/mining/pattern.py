@@ -40,20 +40,8 @@ class PatternSpec:
 
 
 def _member_test(rowptr, colidx, nnz, queries, rows):
-    lo, hi = rowptr[rows], rowptr[rows + 1]
-
-    def body(_, st):
-        lo, hi = st
-        act = lo < hi
-        mid = (lo + hi) // 2
-        v = colidx[jnp.clip(mid, 0, nnz - 1)]
-        right = v < queries
-        return (jnp.where(act & right, mid + 1, lo),
-                jnp.where(act & ~right, mid, hi))
-
-    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
-    return (lo < rowptr[rows + 1]) & \
-        (colidx[jnp.clip(lo, 0, nnz - 1)] == queries)
+    from gardenia_tpu.mining.kcl import _member
+    return _member(rowptr, colidx, nnz, queries, rows)
 
 
 def count_pattern(g, spec: PatternSpec, *, chunk: int = 1 << 18) -> int:
@@ -67,16 +55,19 @@ def count_pattern(g, spec: PatternSpec, *, chunk: int = 1 << 18) -> int:
     def make_step(level: Level, n_members: int, count_only: bool):
         @jax.jit
         def step(members, cum, start, total):
+            from gardenia_tpu.ops import rowsel
             j = start + jnp.arange(chunk, dtype=jnp.int64)
             e = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
             e = jnp.minimum(e, members.shape[1] - 1)
             base = jnp.where(e > 0, cum[jnp.maximum(e - 1, 0)], 0)
             k = (j - base).astype(jnp.int32)
-            va = members[level.anchor, e]
-            x = colidx[jnp.minimum(rowptr[va] + k, nnz - 1)]
+            va = rowsel.take(members[level.anchor], e)
+            x = rowsel.take(colidx,
+                            jnp.minimum(rowsel.take(rowptr, va) + k,
+                                        nnz - 1))
             ok = j < total
             for i in range(n_members):
-                vi = members[i, e]
+                vi = rowsel.take(members[i], e)
                 if i in level.ne or i in level.adj or i in level.nonadj:
                     ok = ok & (x != vi)
                 if i in level.gt:

@@ -27,23 +27,29 @@ def membership_counts(rowptr: jax.Array,
     queries/rows/valid are equal-length 1D arrays.
     """
     nnz = colidx.shape[0]
-    lo = rowptr[rows]
-    hi = rowptr[rows + 1]
+    from gardenia_tpu.ops import rowsel
+
+    col2d = rowsel.to_rows(colidx, nnz, 0)
+    lo = rowsel.take(rowptr, rows)
+    end = rowsel.take(rowptr, rows + 1)
+    hi = end
 
     def body(_, state):
         # lower_bound: invariant colidx[lo-1] < q <= colidx[hi]
         lo, hi = state
         active = lo < hi
         mid = (lo + hi) // 2
-        v = colidx[jnp.clip(mid, 0, max(nnz - 1, 0))]
+        v = rowsel.gather(col2d, jnp.clip(mid, 0, max(nnz - 1, 0)),
+                          acc_dtype=jnp.int32)
         go_right = v < queries
         new_lo = jnp.where(active & go_right, mid + 1, lo)
         new_hi = jnp.where(active & ~go_right, mid, hi)
         return new_lo, new_hi
 
     lo, hi = jax.lax.fori_loop(0, search_rounds, body, (lo, hi))
-    found = (lo < rowptr[rows + 1]) & \
-        (colidx[jnp.clip(lo, 0, max(nnz - 1, 0))] == queries)
+    found = (lo < end) & \
+        (rowsel.gather(col2d, jnp.clip(lo, 0, max(nnz - 1, 0)),
+                       acc_dtype=jnp.int32) == queries)
     # int32 partial: callers accumulate partials in >=64-bit on the host
     # (a query batch is < 2^31 by construction)
     return jnp.sum(jnp.where(valid & found, 1, 0))

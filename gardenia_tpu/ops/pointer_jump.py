@@ -11,14 +11,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from gardenia_tpu.ops import rowsel
+
 
 def pointer_jump(comp: jax.Array) -> jax.Array:
     """Fully compress a parent forest: comp[v] -> root of v."""
     def cond(c):
-        return jnp.any(c[c] != c)
+        return jnp.any(rowsel.take(c, c) != c)
 
     def body(c):
-        return c[c]
+        return rowsel.take(c, c)
 
     return jax.lax.while_loop(cond, body, comp)
 
@@ -26,5 +28,5 @@ def pointer_jump(comp: jax.Array) -> jax.Array:
 def pointer_jump_n(comp: jax.Array, n: int) -> jax.Array:
     """Fixed-count jumping (cheaper when depth bound is known)."""
     for _ in range(n):
-        comp = comp[comp]
+        comp = rowsel.take(comp, comp)
     return comp

@@ -29,23 +29,42 @@ def spmv_ell(ell: EllMatrix,
              semiring: Semiring = F32_PLUS_TIMES,
              num_rows: int,
              init: Optional[jax.Array] = None,
-             row_mask: Optional[jax.Array] = None) -> jax.Array:
+             row_mask: Optional[jax.Array] = None,
+             gather_mode: str = "auto",
+             table_dtype=None) -> jax.Array:
     """y[i] = add_j mul(A[i,j], x[j]), combined into `init` (default: zero).
 
     row_mask (bool[m+?], optional): rows where mask is False keep their init
     value (used for masked sweeps, e.g. bottom-up BFS over unvisited rows,
     SymGS per-color sweeps).
+    gather_mode: 'rowsel' (row gather + one-hot lane select — the fast
+    path on TPU, see ops/rowsel.py) or 'direct' (plain XLA gather).
+    table_dtype: narrow the gathered operand's storage (e.g. bfloat16 for
+    BFS frontier counts) to halve gather traffic.
     """
+    from gardenia_tpu.ops import rowsel
+
     x = jnp.asarray(x)
     dt = semiring.dtype
     pad = jnp.asarray(semiring.pad_x, dtype=dt)
-    x_ext = jnp.concatenate([x.astype(dt), pad[None]])
+    if gather_mode == "auto":
+        gather_mode = "rowsel" if rowsel.enabled() else "direct"
+    use_rowsel = gather_mode == "rowsel"
+    if use_rowsel:
+        n = x.shape[0]
+        x2d = rowsel.to_rows(x.astype(dt), n, pad,
+                             dtype=table_dtype or dt)
+    else:
+        x_ext = jnp.concatenate([x.astype(dt), pad[None]])
     if init is None:
         y = jnp.full((num_rows,), semiring.zero, dtype=dt)
     else:
         y = init.astype(dt)
     for b in ell.buckets:
-        gathered = x_ext[b.cols]                       # (W, R)
+        if use_rowsel:
+            gathered = rowsel.gather(x2d, b.cols, acc_dtype=dt)  # (W, R)
+        else:
+            gathered = x_ext[b.cols]                   # (W, R)
         if b.vals is not None:
             prod = semiring.mul(jnp.asarray(b.vals, dtype=dt), gathered)
         else:
@@ -72,8 +91,11 @@ def spmv_segment(row_ids: jax.Array,
     Also serves as the push-direction primitive (reference push variants,
     e.g. src/pr/push.cu): call with (row_ids=dst, col_ids=src).
     """
+    from gardenia_tpu.ops import rowsel
+
     dt = semiring.dtype
-    gathered = x.astype(dt)[col_ids]
+    gathered = rowsel.take(x.astype(dt), col_ids,
+                           pad_value=semiring.pad_x)
     prod = semiring.mul(vals.astype(dt), gathered) if vals is not None \
         else gathered
     if init is None:

@@ -42,7 +42,6 @@ def bc_solver(g, source: int = 0, *, num_sources: int = 1) -> BCResult:
     in_ell = g.ell(reverse=True)
     out_ell = g.ell()
 
-    @jax.jit
     def run(source):
         def one_source(scores, src):
             depth0 = jnp.full((m,), INF, jnp.int32).at[src].set(0)
@@ -97,4 +96,5 @@ def bc_solver(g, source: int = 0, *, num_sources: int = 1) -> BCResult:
         biggest = jnp.maximum(jnp.max(scores), 1e-30)
         return BCResult(scores / biggest, iters)
 
-    return run(jnp.int32(source))
+    jitted = g._dev(("bc_run", num_sources), lambda: jax.jit(run))
+    return jitted(jnp.int32(source))

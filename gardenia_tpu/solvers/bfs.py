@@ -69,8 +69,8 @@ def _bfs_pull_loop(in_ell, m: int):
 
 
 def bfs_pull(g, source: int) -> BFSResult:
-    in_ell = g.ell(reverse=True)
-    run = jax.jit(_bfs_pull_loop(in_ell, g.m))
+    run = g._dev(("bfs_pull_run",),
+                 lambda: jax.jit(_bfs_pull_loop(g.ell(reverse=True), g.m)))
     return run(jnp.int32(source))
 
 
@@ -89,9 +89,10 @@ def bfs_do(g, source: int) -> BFSResult:
 
     @partial(jax.jit, static_argnames=("cap",))
     def td_step(dist, frontier_ids, depth, *, cap: int):
+        from gardenia_tpu.ops import rowsel
         src, dst, valid = expand_frontier_edges(rowptr, colidx,
                                                 frontier_ids, cap)
-        unvisited = dist[dst] == INF
+        unvisited = rowsel.take(dist, dst) == INF
         tgt = jnp.where(valid & unvisited, dst, m)
         dist = dist.at[tgt].min(depth + 1, mode="drop")
         newly = dist == depth + 1

@@ -42,7 +42,8 @@ class CCResult(NamedTuple):
 
 def _hook_edges(comp, src, dst, m):
     """Two-sided union by min label (Link, omp_afforest.cc:12-25)."""
-    ls, ld = comp[src], comp[dst]
+    from gardenia_tpu.ops import rowsel
+    ls, ld = rowsel.take(comp, src), rowsel.take(comp, dst)
     comp = comp.at[ld].min(ls, mode="drop")
     comp = comp.at[ls].min(ld, mode="drop")
     return comp
@@ -55,24 +56,28 @@ def _coo(g):
 
 def cc_sv(g) -> CCResult:
     m = g.m
-    src, dst = _coo(g)
 
-    @jax.jit
-    def run(comp0):
-        def cond(state):
-            _, changed, _ = state
-            return changed
+    def build():
+        src, dst = _coo(g)
 
-        def body(state):
-            comp, _, it = state
-            new = _hook_edges(comp, src, dst, m)
-            new = pointer_jump(new)
-            return new, jnp.any(new != comp), it + 1
+        @jax.jit
+        def run(comp0):
+            def cond(state):
+                _, changed, _ = state
+                return changed
 
-        comp, _, it = jax.lax.while_loop(
-            cond, body, (comp0, jnp.bool_(True), jnp.int32(0)))
-        return CCResult(comp, it)
+            def body(state):
+                comp, _, it = state
+                new = _hook_edges(comp, src, dst, m)
+                new = pointer_jump(new)
+                return new, jnp.any(new != comp), it + 1
 
+            comp, _, it = jax.lax.while_loop(
+                cond, body, (comp0, jnp.bool_(True), jnp.int32(0)))
+            return CCResult(comp, it)
+        return run
+
+    run = g._dev(("cc_sv_run",), build)
     return run(jnp.arange(m, dtype=jnp.int32))
 
 
@@ -81,8 +86,7 @@ def cc_afforest(g, neighbor_rounds: int = 2) -> CCResult:
     rowptr, colidx = g.device_csr()
     src, dst = _coo(g)
 
-    @jax.jit
-    def run(comp0):
+    def _run(comp0):
         comp = comp0
         vid = jnp.arange(m, dtype=jnp.int32)
         # sampling rounds: hook only the r-th neighbor of each vertex
@@ -107,13 +111,13 @@ def cc_afforest(g, neighbor_rounds: int = 2) -> CCResult:
 
         def body(state):
             comp, _, it = state
+            from gardenia_tpu.ops import rowsel
+            ls0 = rowsel.take(comp, src)
+            ld0 = rowsel.take(comp, dst)
             # skip edges fully inside the biggest component
             # (omp_afforest.cc:57-62)
-            keep = (comp[src] != biggest) | (comp[dst] != biggest)
-            s = jnp.where(keep, src, m)
-            d = jnp.where(keep, dst, m)
-            ls = comp[jnp.minimum(s, m - 1)]
-            ld = comp[jnp.minimum(d, m - 1)]
+            keep = (ls0 != biggest) | (ld0 != biggest)
+            ls, ld = ls0, ld0
             new = comp.at[jnp.where(keep, ld, m)].min(ls, mode="drop")
             new = new.at[jnp.where(keep, ls, m)].min(ld, mode="drop")
             new = pointer_jump(new)
@@ -123,6 +127,8 @@ def cc_afforest(g, neighbor_rounds: int = 2) -> CCResult:
             cond, body, (comp, jnp.bool_(True), jnp.int32(0)))
         return CCResult(comp, it + neighbor_rounds)
 
+    run = g._dev(("cc_afforest_run", neighbor_rounds),
+                 lambda: jax.jit(_run))
     return run(jnp.arange(m, dtype=jnp.int32))
 
 

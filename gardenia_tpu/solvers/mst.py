@@ -56,7 +56,6 @@ def mst_solver(g) -> MSTResult:
     _, cid_h = np.unique(pair, axis=0, return_inverse=True)
     cid = jnp.asarray(cid_h.astype(np.int32))
 
-    @jax.jit
     def run():
         def cond(state):
             _, _, changed = state
@@ -64,7 +63,9 @@ def mst_solver(g) -> MSTResult:
 
         def body(state):
             comp, chosen, _ = state
-            cs, cd = comp[src], comp[dst]
+            from gardenia_tpu.ops import rowsel
+            cs = rowsel.take(comp, src)
+            cd = rowsel.take(comp, dst)
             cross = cs != cd
             # 1) min weight per component
             key = jnp.where(cross, cs, m)
@@ -72,11 +73,12 @@ def mst_solver(g) -> MSTResult:
                 jnp.where(cross, wi, _INT_MAX), mode="drop")
             # 2) tie-break: min canonical edge id among weight-matching
             # edges, then a concrete edge index for that canonical id
-            hit1 = cross & (wi == minw[jnp.minimum(cs, m - 1)])
+            hit1 = cross & (wi == rowsel.take(minw, jnp.minimum(cs, m - 1)))
             mincid = jnp.full((m,), _INT_MAX, jnp.int32).at[
                 jnp.where(hit1, cs, m)].min(
                 jnp.where(hit1, cid, _INT_MAX), mode="drop")
-            hit = hit1 & (cid == mincid[jnp.minimum(cs, m - 1)])
+            hit = hit1 & (cid == rowsel.take(mincid,
+                                             jnp.minimum(cs, m - 1)))
             mine = jnp.full((m,), nnz, jnp.int32).at[
                 jnp.where(hit, cs, m)].min(eid, mode="drop")
             has = mine < nnz
@@ -105,7 +107,7 @@ def mst_solver(g) -> MSTResult:
         total = jnp.sum(jnp.where(chosen, w, 0.0))
         return MSTResult(total, chosen, comp)
 
-    res = run()
+    res = g._dev(("mst_run",), lambda: jax.jit(run))()
     # host-side dedup of (u,v)/(v,u) double-chosen pairs
     chosen = np.asarray(res.edge_mask)
     s = np.repeat(np.arange(m), np.diff(g.rowptr))[chosen]

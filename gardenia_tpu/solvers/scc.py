@@ -42,14 +42,15 @@ def scc_solver(g, *, max_rounds: int = None) -> SCCResult:
     if max_rounds is None:
         max_rounds = m + 2
 
-    @jax.jit
     def run():
         root0 = jnp.full((m,), -1, jnp.int32)
         active0 = jnp.ones((m,), bool)
         vid = jnp.arange(m, dtype=jnp.int32)
 
+        from gardenia_tpu.ops import rowsel
+
         def edge_active(active):
-            return active[src] & active[dst]
+            return rowsel.take(active, src) & rowsel.take(active, dst)
 
         def cond(state):
             _, active, it = state
@@ -84,7 +85,7 @@ def scc_solver(g, *, max_rounds: int = None) -> SCCResult:
             def fw_body(state2):
                 color, _ = state2
                 ea = edge_active(active)
-                x = jnp.where(ea, color[src], -1)
+                x = jnp.where(ea, rowsel.take(color, src), -1)
                 pushed = jnp.zeros((m,), jnp.int32).at[dst].max(x)
                 new = jnp.where(active, jnp.maximum(color, pushed), color)
                 return new, jnp.any(new != color)
@@ -102,8 +103,9 @@ def scc_solver(g, *, max_rounds: int = None) -> SCCResult:
 
             def bw_body(state2):
                 reach, _ = state2
-                ea = edge_active(active) & (color[src] == color[dst])
-                x = ea & reach[dst]            # reverse direction: v->u
+                ea = edge_active(active) & \
+                    (rowsel.take(color, src) == rowsel.take(color, dst))
+                x = ea & rowsel.take(reach, dst)   # reverse: v->u
                 pushed = jnp.zeros((m,), bool).at[src].max(x)
                 new = reach | pushed
                 return new, jnp.any(new != reach)
@@ -119,4 +121,4 @@ def scc_solver(g, *, max_rounds: int = None) -> SCCResult:
             cond, body, (root0, active0, jnp.int32(0)))
         return SCCResult(root, it)
 
-    return run()
+    return g._dev(("scc_run", max_rounds), lambda: jax.jit(run))()

@@ -37,19 +37,22 @@ def spmv_solver(g, Ax=None, x=None, y=None, *, variant: str = "ell"):
         else jnp.asarray(y, dtype=jnp.float32)
 
     if variant == "segment":
-        src, dst = g.device_coo()
-        vals = jnp.asarray(np.asarray(Ax, np.float32))
-        fn = jax.jit(partial(spmv_segment, src, dst, vals,
-                             semiring=F32_PLUS_TIMES, num_rows=g.m))
+        def build_seg():
+            src, dst = g.device_coo()
+            vals = jnp.asarray(np.asarray(Ax, np.float32))
+            return jax.jit(partial(spmv_segment, src, dst, vals,
+                                   semiring=F32_PLUS_TIMES, num_rows=g.m))
+        fn = g._dev(("spmv_seg_run", id(Ax)), build_seg)
         return fn(x, init=y)
 
     # default: build a weighted ELL with the provided values
-    from gardenia_tpu.ops.ell import build_ell
-    key = ("spmv_ell", id(Ax) if Ax is g.weights else "custom")
-    ell = g._dev(key, lambda: jax.tree_util.tree_map(
-        jax.device_put,
-        build_ell(g.rowptr, g.colidx, np.asarray(Ax, np.float32),
-                  num_cols=g.n)))
-    fn = jax.jit(partial(spmv_ell, ell, semiring=F32_PLUS_TIMES,
-                         num_rows=g.m))
+    def build_fn():
+        from gardenia_tpu.ops.ell import build_ell
+        ell = jax.tree_util.tree_map(
+            jax.device_put,
+            build_ell(g.rowptr, g.colidx, np.asarray(Ax, np.float32),
+                      num_cols=g.n))
+        return jax.jit(partial(spmv_ell, ell, semiring=F32_PLUS_TIMES,
+                               num_rows=g.m))
+    fn = g._dev(("spmv_ell_run", id(Ax)), build_fn)
     return fn(x, init=y)

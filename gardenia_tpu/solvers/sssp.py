@@ -82,10 +82,11 @@ def sssp_solver(g, source: int = 0, delta: int = 1, *,
     (src/sssp/sssp.h:46). Int32 edge weights come from the graph
     (g.weights) or default to 1."""
     m = g.m
-    in_ell = _weighted_in_ell(g)
     if max_rounds is None:
         # worst case: every round settles at least one vertex
         max_rounds = 4 * m + 16
-    run = jax.jit(_sssp_loop(in_ell, m, max(1, int(delta)),
-                             variant == "delta", max_rounds))
+    key = ("sssp_run", variant, int(delta), max_rounds)
+    run = g._dev(key, lambda: jax.jit(
+        _sssp_loop(_weighted_in_ell(g), m, max(1, int(delta)),
+                   variant == "delta", max_rounds)))
     return run(jnp.int32(source))

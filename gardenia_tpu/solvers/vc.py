@@ -38,7 +38,6 @@ def vc_solver(g, *, max_color: int = T.MAXCOLOR) -> VCResult:
     C = max_color
     src, dst = g.device_coo()
 
-    @jax.jit
     def run():
         colors0 = jnp.zeros((m,), jnp.int32)
         active0 = jnp.ones((m,), bool)
@@ -49,8 +48,11 @@ def vc_solver(g, *, max_color: int = T.MAXCOLOR) -> VCResult:
 
         def body(state):
             colors, active, it = state
+            from gardenia_tpu.ops import rowsel
+            cd = rowsel.take(colors, dst)
             # forbidden[u, c] = 1 iff some neighbor of active u has color c
-            flat_idx = jnp.where(active[src], src * C + colors[dst], m * C)
+            flat_idx = jnp.where(rowsel.take(active, src), src * C + cd,
+                                 m * C)
             forb = jnp.zeros((m * C,), jnp.int32).at[flat_idx].max(
                 1, mode="drop").reshape(m, C)
             # first-fit: smallest non-forbidden color (argmin finds the
@@ -58,7 +60,8 @@ def vc_solver(g, *, max_color: int = T.MAXCOLOR) -> VCResult:
             fit = jnp.argmin(forb, axis=1).astype(jnp.int32)
             colors = jnp.where(active, fit, colors)
             # conflicts: edge (u,v), u<v, same color -> u goes again
-            conf_edge = (src < dst) & (colors[src] == colors[dst])
+            conf_edge = (src < dst) & (rowsel.take(colors, src) ==
+                                       rowsel.take(colors, dst))
             conflict = jnp.zeros((m,), jnp.int32).at[
                 jnp.where(conf_edge, src, m)].max(1, mode="drop")
             return colors, conflict > 0, it + 1
@@ -67,4 +70,4 @@ def vc_solver(g, *, max_color: int = T.MAXCOLOR) -> VCResult:
             cond, body, (colors0, active0, jnp.int32(0)))
         return VCResult(colors, jnp.max(colors) + 1, it)
 
-    return run()
+    return g._dev(("vc_run", C), lambda: jax.jit(run))()
