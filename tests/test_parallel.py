@@ -1,0 +1,81 @@
+"""Multi-chip solvers on the 8-device virtual CPU mesh vs single-chip
+results (SURVEY.md §7.6; BASELINE.json multichip configs)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import DATASETS, random_graph
+
+import jax
+
+from gardenia_tpu import load_graph
+from gardenia_tpu.parallel import (bfs_solver_dist, make_mesh,
+                                   pr_solver_dist, sgd_train_dist,
+                                   tc_solver_dist)
+from gardenia_tpu.verify import oracles
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+def test_pr_dist_matches_single(mesh):
+    from gardenia_tpu.solvers.pr import pr_solver
+    g = random_graph(m=257, avg_deg=6, seed=1)
+    d = pr_solver_dist(g, mesh=mesh)
+    s = pr_solver(g)
+    assert int(d.iterations) == int(s.iterations)
+    np.testing.assert_allclose(np.asarray(d.scores),
+                               np.asarray(s.scores), atol=1e-6)
+
+
+def test_bfs_dist_matches_oracle(mesh):
+    g = load_graph(f"{DATASETS}/chesapeake.mtx", "mtx", symmetrize=True)
+    res = bfs_solver_dist(g, 0, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(res.dist),
+                                  oracles.bfs_serial(g, 0))
+
+
+def test_bfs_dist_directed_unreachable(mesh):
+    g = random_graph(m=150, avg_deg=2, seed=4)
+    res = bfs_solver_dist(g, 3, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(res.dist),
+                                  oracles.bfs_serial(g, 3))
+
+
+def test_tc_dist_matches_single(mesh):
+    from gardenia_tpu.solvers.tc import tc_solver
+    g = random_graph(m=120, avg_deg=8, seed=2, symmetric=True)
+    assert tc_solver_dist(g, mesh=mesh, chunk=256) == tc_solver(g)
+
+
+def test_sgd_dist_trains(mesh):
+    g = random_graph(m=60, avg_deg=5, seed=3, weighted=True)
+    res = sgd_train_dist(g, mesh=mesh, iters=4)
+    final = oracles.sgd_rmse(g.rowptr, g.colidx,
+                             np.asarray(g.weights, np.float32),
+                             np.asarray(res.user_lv),
+                             np.asarray(res.item_lv))
+    # training reduced RMSE vs the un-trained factors
+    from gardenia_tpu.solvers.sgd import init_latent
+    base = oracles.sgd_rmse(g.rowptr, g.colidx,
+                            np.asarray(g.weights, np.float32),
+                            init_latent(g.m, 0),
+                            init_latent(max(g.n,
+                                            int(g.colidx.max()) + 1), 1))
+    assert final < base
+
+
+def test_sgd_dist_matches_single_chip(mesh):
+    """Distributed dp gradients == single-chip full-batch gradients."""
+    from gardenia_tpu.solvers.sgd import sgd_solver
+    g = random_graph(m=40, avg_deg=4, seed=5, weighted=True)
+    d = sgd_train_dist(g, mesh=mesh, iters=2)
+    s = sgd_solver(g, max_iters=2, epsilon=0.0)
+    np.testing.assert_allclose(np.asarray(d.user_lv),
+                               np.asarray(s.user_lv), rtol=2e-5,
+                               atol=1e-7)
