@@ -199,11 +199,41 @@ def write_bin_csr(prefix: str, rowptr: np.ndarray, colidx: np.ndarray,
         vlabels.astype(T.VLABEL_DTYPE).tofile(prefix + ".vlabel.bin")
 
 
+def parse_txt(path: str) -> EdgeListData:
+    """Labeled-graph .txt format for FSM (reference include/mgraph.h
+    read_txt: 'v <id> <label>' vertex lines then 'e <src> <dst>
+    <elabel>' edge lines; 0-indexed)."""
+    vlines, elines = [], []
+    with open(path) as f:
+        for ln in f:
+            if ln.startswith("v"):
+                vlines.append(ln[1:])
+            elif ln.startswith("e"):
+                elines.append(ln[1:])
+    vt = _numeric_tokens(" ".join(vlines), dtype=np.int64).reshape(-1, 2)
+    m = int(vt[:, 0].max()) + 1 if len(vt) else 0
+    vlabels = np.zeros(m, T.VLABEL_DTYPE)
+    vlabels[vt[:, 0]] = vt[:, 1].astype(T.VLABEL_DTYPE)
+    if elines:
+        et = _numeric_tokens(" ".join(elines),
+                             dtype=np.int64)
+        fields = et.size // len(elines)
+        et = et[: len(elines) * fields].reshape(-1, fields)
+        src = et[:, 0].astype(T.VID_DTYPE)
+        dst = et[:, 1].astype(T.VID_DTYPE)
+        wt = et[:, 2].astype(np.float64) if fields >= 3 else None
+    else:
+        src = dst = np.empty(0, T.VID_DTYPE)
+        wt = None
+    return EdgeListData(m, m, src, dst, wt, vlabels=vlabels)
+
+
 _PARSERS = {
     "mtx": parse_mtx,
     "gr": parse_gr,
     "graph": parse_graph,
     "el": parse_el,
+    "txt": parse_txt,
 }
 
 
