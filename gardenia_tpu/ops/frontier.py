@@ -36,16 +36,22 @@ def expand_frontier_edges(rowptr: jax.Array,
                           colidx: jax.Array,
                           frontier_ids: jax.Array,
                           capacity: int
-                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                          ) -> Tuple[jax.Array, jax.Array, jax.Array,
+                                     jax.Array]:
     """Flatten the out-edges of `frontier_ids` into padded arrays.
 
     frontier_ids: i32[P], padded with m (sentinel row with 0 edges).
-    Returns (src i32[capacity], dst i32[capacity], valid bool[capacity]).
+    Returns (src i32[capacity], dst i32[capacity], valid bool[capacity],
+    eid i32[capacity] — the CSR edge slot, for weight lookups).
     Requires rowptr to have an m-th entry (it does: rowptr[m] = nnz).
     """
+    from gardenia_tpu.ops import rowsel
+
     nnz = colidx.shape[0]
-    starts = rowptr[frontier_ids]
-    ends = rowptr[jnp.minimum(frontier_ids + 1, rowptr.shape[0] - 1)]
+    starts = rowsel.take(rowptr, frontier_ids)
+    ends = rowsel.take(rowptr,
+                       jnp.minimum(frontier_ids + 1,
+                                   rowptr.shape[0] - 1))
     lens = jnp.maximum(ends - starts, 0)
     cum_ends = jnp.cumsum(lens)
     total = cum_ends[-1] if lens.shape[0] else jnp.int32(0)
@@ -54,7 +60,7 @@ def expand_frontier_edges(rowptr: jax.Array,
     # owner f of edge slot j: first frontier index with cum_ends[f] > j
     f = jnp.searchsorted(cum_ends, j, side="right").astype(jnp.int32)
     f = jnp.minimum(f, frontier_ids.shape[0] - 1)
-    e = starts[f] + (j - offsets[f])
+    e = rowsel.take(starts, f) + (j - rowsel.take(offsets, f))
     valid = j < total
     e = jnp.clip(e, 0, max(nnz - 1, 0))
-    return frontier_ids[f], colidx[e], valid
+    return rowsel.take(frontier_ids, f), rowsel.take(colidx, e), valid, e

@@ -90,8 +90,8 @@ def bfs_do(g, source: int) -> BFSResult:
     @partial(jax.jit, static_argnames=("cap",))
     def td_step(dist, frontier_ids, depth, *, cap: int):
         from gardenia_tpu.ops import rowsel
-        src, dst, valid = expand_frontier_edges(rowptr, colidx,
-                                                frontier_ids, cap)
+        src, dst, valid, _ = expand_frontier_edges(rowptr, colidx,
+                                                   frontier_ids, cap)
         unvisited = rowsel.take(dist, dst) == INF
         tgt = jnp.where(valid & unvisited, dst, m)
         dist = dist.at[tgt].min(depth + 1, mode="drop")

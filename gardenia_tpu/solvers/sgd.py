@@ -84,6 +84,12 @@ def sgd_solver(g, lam: float = DEFAULT_LAMBDA, step: float = DEFAULT_STEP,
         .astype(np.float32))
     sgd_step = make_sgd_step(src, dst, ratings, lam, step, m, n)
 
+    run = _build_run(g, sgd_step, max_iters, epsilon)
+    return run(jnp.asarray(init_latent(m, seed)),
+               jnp.asarray(init_latent(n, seed + 1)))
+
+
+def _build_run(g, sgd_step, max_iters, epsilon):
     @jax.jit
     def run(ulv, ilv):
         def cond(state):
@@ -100,5 +106,40 @@ def sgd_solver(g, lam: float = DEFAULT_LAMBDA, step: float = DEFAULT_STEP,
         ulv, ilv, hist, it, _ = jax.lax.while_loop(cond, body, state)
         return SGDResult(ulv, ilv, hist, it)
 
-    return run(jnp.asarray(init_latent(m, seed)),
-               jnp.asarray(init_latent(n, seed + 1)))
+    return run
+
+
+def sgd_train_checkpointed(g, checkpointer, total_iters: int,
+                           checkpoint_every: int = 1,
+                           lam: float = DEFAULT_LAMBDA,
+                           step: float = DEFAULT_STEP, seed: int = 0
+                           ) -> SGDResult:
+    """Restartable training: resumes from the checkpointer's last saved
+    (user_lv, item_lv, epoch) and checkpoints every `checkpoint_every`
+    epochs (utils/checkpoint.py; the reference has no app-level
+    checkpointing — SURVEY.md §5)."""
+    m, n = g.m, max(g.n, int(g.colidx.max()) + 1 if g.nnz else 1)
+    src, dst = g.device_coo()
+    ratings = jnp.asarray(
+        (g.weights if g.weights is not None else np.ones(g.nnz))
+        .astype(np.float32))
+    sgd_step = g._dev(("sgd_step", lam, step), lambda: jax.jit(
+        make_sgd_step(src, dst, ratings, lam, step, m, n)))
+
+    template = (init_latent(m, seed), init_latent(n, seed + 1))
+    restored = checkpointer.restore(like=template)
+    if restored is not None:
+        (ulv, ilv), start = restored
+        ulv, ilv = jnp.asarray(ulv), jnp.asarray(ilv)
+    else:
+        ulv, ilv = map(jnp.asarray, template)
+        start = 0
+    rmse = jnp.float32(jnp.inf)
+    hist = jnp.full((max(total_iters, 1),), jnp.inf, jnp.float32)
+    for it in range(start, total_iters):
+        ulv, ilv, rmse = sgd_step(ulv, ilv)
+        hist = hist.at[it].set(rmse)
+        if (it + 1) % checkpoint_every == 0 or it + 1 == total_iters:
+            checkpointer.save((np.asarray(ulv), np.asarray(ilv)),
+                              step=it + 1)
+    return SGDResult(ulv, ilv, hist, jnp.int32(total_iters))

@@ -46,7 +46,7 @@ def test_sssp_unit_weights(variant):
                                   oracles.sssp_serial(g, 0))
 
 
-@pytest.mark.parametrize("variant", ["bf", "delta"])
+@pytest.mark.parametrize("variant", ["bf", "delta", "hybrid"])
 @pytest.mark.parametrize("delta", [1, 4, 64])
 def test_sssp_weighted(variant, delta):
     g = random_graph(m=130, avg_deg=5, seed=3, weighted=True,
