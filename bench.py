@@ -30,6 +30,13 @@ BASELINE_SPMV_GFLOPS = 55.0  # cuSPARSE CSR SpMV, scale-free, A100-class
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
 
+# persistent XLA compile cache: first-compile of the fused solver loops
+# takes minutes through the axon remote-compile tunnel; cache across
+# processes so driver runs after a warm-up are fast
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(CACHE_DIR, "xla"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 
 def get_graph(scale: int, need_reverse: bool):
     """R-MAT graph, cached as binary CSR after first generation."""

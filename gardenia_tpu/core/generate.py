@@ -49,6 +49,22 @@ def rmat_edges(scale: int, degree: int = 16, seed: int = 27491095,
                         perm[dst].astype(T.VID_DTYPE), None)
 
 
+def grid_edges(side: int, seed: int = 0, max_weight: int = 256
+               ) -> EdgeListData:
+    """side x side 4-neighbor grid — a road-network-like high-diameter
+    fixture (diameter ~ 2*side), with random integer weights.  Stands in
+    for road_usa/road_central (BASELINE.md eval datasets) in tests."""
+    m = side * side
+    ids = np.arange(m, dtype=np.int64).reshape(side, side)
+    right = np.stack([ids[:, :-1].ravel(), ids[:, 1:].ravel()])
+    down = np.stack([ids[:-1, :].ravel(), ids[1:, :].ravel()])
+    e = np.concatenate([right, down], axis=1)
+    rng = np.random.default_rng(seed)
+    wt = rng.integers(1, max_weight, e.shape[1]).astype(np.float64)
+    return EdgeListData(m, m, e[0].astype(T.VID_DTYPE),
+                        e[1].astype(T.VID_DTYPE), wt)
+
+
 def generate_graph(kind: str = "rmat", scale: int = 16, degree: int = 16,
                    seed: int = 27491095, symmetrize: bool = True,
                    need_reverse: bool = False, weighted: bool = False

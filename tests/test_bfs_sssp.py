@@ -56,6 +56,16 @@ def test_sssp_weighted(variant, delta):
                                   oracles.sssp_serial(g, 2))
 
 
+def test_sssp_hybrid_grid():
+    """High-diameter road-like fixture (grid ~ road_usa stand-in)."""
+    from gardenia_tpu.core.generate import grid_edges
+    from gardenia_tpu.core.graph import from_edges
+    g = from_edges(grid_edges(24), symmetrize=True)
+    res = sssp_solver(g, 0, 32, variant="hybrid")
+    np.testing.assert_array_equal(np.asarray(res.dist),
+                                  oracles.sssp_serial(g, 0))
+
+
 def test_sssp_directed_unreachable():
     g = random_graph(m=90, avg_deg=2, seed=9, weighted=True)
     res = sssp_solver(g, 0)
