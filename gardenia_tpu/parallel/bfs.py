@@ -28,19 +28,21 @@ from gardenia_tpu.solvers.bfs import BFSResult
 INF = np.int32(T.MYINFINITY)
 
 
-def bfs_solver_dist(g, source: int = 0, *, mesh=None, n_shards=None
-                    ) -> BFSResult:
+def bfs_solver_dist(g, source: int = 0, *, mesh=None, n_shards=None,
+                    balance: str = "vertices") -> BFSResult:
     if mesh is None:
         mesh = make_mesh(n_shards)
     n = mesh.devices.size
-    sh_ell, mb = partition_ell_1d(g, n, reverse=True)
+    parts = partition_ell_1d(g, n, reverse=True, balance=balance)
+    mb = parts.rows_per_shard
     m = g.m
-    ell_arrays = jax.tree_util.tree_map(jnp.asarray, sh_ell)
+    ell_arrays = jax.tree_util.tree_map(jnp.asarray, parts.ell)
 
+    src_pad = int(parts.pad_map(np.asarray([source]))[0])
     dist0 = np.full(n * mb, INF, np.int32)
-    dist0[source] = 0
+    dist0[src_pad] = 0
     frontier0 = np.zeros(n * mb, np.int32)
-    frontier0[source] = 1
+    frontier0[src_pad] = 1
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P("v"), P("v"), P("v")),
@@ -75,4 +77,5 @@ def bfs_solver_dist(g, source: int = 0, *, mesh=None, n_shards=None
 
     dist, depth = jax.jit(run)(jnp.asarray(dist0), jnp.asarray(frontier0),
                                ell_arrays)
-    return BFSResult(dist[:m], depth)
+    return BFSResult(jnp.asarray(parts.from_padded(np.asarray(dist))),
+                     depth)

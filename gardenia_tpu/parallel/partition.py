@@ -1,12 +1,18 @@
 """1D row-range partitioning of a graph into per-shard ELL slabs.
 
 The TPU scale-out analog of the reference's CSR segmenting
-(include/segmenting.h:31-184): there, the graph is split into column-range
-subgraphs sized to L2/scratchpad with a partial-sum merge; here, rows
-(destination vertices) are split into contiguous ranges — one per chip —
-each chip owns the in-edges of its range, the operand vector is all-gathered
-over ICI, and partial results stay resident (no merge needed because the
-partition is by output row).
+(include/segmenting.h:31-184) plus its multi-device work Scheduler
+(src/common/scheduler.cc:14-215): rows are split into contiguous ranges
+— one per chip — either in equal vertex counts or balanced by EDGE
+count (the Scheduler's workload-estimate role; for power-law graphs
+equal-vertex ranges skew per-chip work badly).  Each chip owns the
+edges into its range; the operand vector is all-gathered over ICI.
+
+Layout contract: every shard is padded to `rows_per_shard` slots, and
+ALL vertex ids are remapped to this padded coordinate system
+(padded_id = shard * rows_per_shard + (v - bounds[shard])), including
+the column indices inside the slabs — so the all-gathered operand is
+directly addressable without shard-offset arithmetic on device.
 
 Arrays are stacked with a leading shard axis so they drop straight into
 shard_map with in_specs=P('v').
@@ -27,39 +33,99 @@ class ShardedEll(NamedTuple):
 
     row_ids: i32[n, R]     LOCAL row index within the shard (sentinel =
                             rows_per_shard, dropped by scatter)
-    cols:    i32[n, W, R]  GLOBAL column index (sentinel = num_cols)
+    cols:    i32[n, W, R]  PADDED-GLOBAL column index (sentinel =
+                            n*rows_per_shard)
     vals:    f32[n, W, R]  optional
     """
-    buckets: Tuple[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]], ...]
+    buckets: Tuple[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]],
+                   ...]
+
+
+class Partition1D(NamedTuple):
+    ell: ShardedEll
+    bounds: np.ndarray        # i64[n+1] vertex-range boundaries
+    rows_per_shard: int       # mb: padded rows per shard
+
+    @property
+    def n_shards(self) -> int:
+        return len(self.bounds) - 1
+
+    def padded_size(self) -> int:
+        return self.n_shards * self.rows_per_shard
+
+    def to_padded(self, arr: np.ndarray, fill) -> np.ndarray:
+        """Scatter a global per-vertex array into the padded layout."""
+        out = np.full(self.padded_size(), fill, arr.dtype)
+        for s in range(self.n_shards):
+            lo, hi = self.bounds[s], self.bounds[s + 1]
+            base = s * self.rows_per_shard
+            out[base:base + (hi - lo)] = arr[lo:hi]
+        return out
+
+    def from_padded(self, arr: np.ndarray) -> np.ndarray:
+        """Gather a padded-layout array back to global vertex order."""
+        parts = []
+        for s in range(self.n_shards):
+            lo, hi = self.bounds[s], self.bounds[s + 1]
+            base = s * self.rows_per_shard
+            parts.append(np.asarray(arr[base:base + (hi - lo)]))
+        return np.concatenate(parts)
+
+    def pad_map(self, ids: np.ndarray) -> np.ndarray:
+        """Map global vertex ids to padded coordinates."""
+        s = np.searchsorted(self.bounds, ids, side="right") - 1
+        return (s * self.rows_per_shard + (ids - self.bounds[s])) \
+            .astype(T.VID_DTYPE)
+
+
+def edge_balanced_bounds(rowptr: np.ndarray, n_shards: int) -> np.ndarray:
+    """Contiguous vertex ranges with ~equal edge counts (Scheduler's
+    workload estimation, scheduler.cc:14-215)."""
+    m = len(rowptr) - 1
+    nnz = int(rowptr[-1])
+    targets = (np.arange(1, n_shards) * nnz) // n_shards
+    cuts = np.searchsorted(rowptr, targets, side="left")
+    bounds = np.concatenate([[0], cuts, [m]]).astype(np.int64)
+    return np.maximum.accumulate(bounds)
 
 
 def partition_ell_1d(g, n_shards: int, *, reverse: bool = False,
                      weighted: bool = False,
-                     width_cap: int = T.ELL_WIDTH_CAP
-                     ) -> Tuple[ShardedEll, int]:
-    """Split g's rows into n contiguous ranges and ELL-block each range.
-
-    Returns (sharded_ell, rows_per_shard); global row r lives on shard
-    r // rows_per_shard at local index r % rows_per_shard.
-    """
+                     balance: str = "vertices",
+                     width_cap: int = T.ELL_WIDTH_CAP) -> Partition1D:
+    """Split g's rows into n contiguous ranges and ELL-block each range."""
     rp = g.in_rowptr if reverse else g.rowptr
     ci = g.in_colidx if reverse else g.colidx
     w = (g.in_weights if reverse else g.weights) if weighted else None
     if weighted and w is None:
         w = np.ones(len(ci), np.float32)
     m = g.m
-    mb = T.round_up(max(1, -(-m // n_shards)), T.SUBLANES)
+    if balance == "edges":
+        bounds = edge_balanced_bounds(rp, n_shards)
+    else:
+        mb0 = -(-m // n_shards)
+        bounds = np.minimum(np.arange(n_shards + 1, dtype=np.int64) * mb0,
+                            m)
+    mb = T.round_up(max(1, int(np.diff(bounds).max())), T.SUBLANES)
+
+    # remap of global column ids into padded coordinates
+    def remap(cols):
+        s = np.searchsorted(bounds, cols, side="right") - 1
+        return (s * mb + (cols - bounds[s])).astype(np.int64)
+
+    pad_n = n_shards * mb
     shard_mats = []
     for s in range(n_shards):
-        lo, hi = min(s * mb, m), min((s + 1) * mb, m)
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
         sub_rp = rp[lo:hi + 1] - rp[lo]
-        sub_ci = ci[rp[lo]:rp[hi]]
-        sub_w = None if w is None else np.asarray(
-            w[rp[lo]:rp[hi]], np.float32)
         if hi <= lo:
             sub_rp = np.zeros(1, rp.dtype)
-        shard_mats.append(build_ell(sub_rp, sub_ci, sub_w,
-                                    num_cols=g.n, width_cap=width_cap))
+        sub_ci = remap(ci[rp[lo]:rp[hi]])
+        sub_w = None if w is None else np.asarray(
+            w[rp[lo]:rp[hi]], np.float32)
+        shard_mats.append(build_ell(sub_rp, sub_ci.astype(T.VID_DTYPE),
+                                    sub_w, num_cols=pad_n,
+                                    width_cap=width_cap))
     # unify bucket shapes across shards: same widths, same padded R
     widths = sorted({b.cols.shape[0] for em in shard_mats
                      for b in em.buckets})
@@ -73,18 +139,19 @@ def partition_ell_1d(g, n_shards: int, *, reverse: bool = False,
                    default=0)
         rmax = T.round_up(max(rmax, T.LANES), T.LANES)
         rids = np.full((n_shards, rmax), mb, T.VID_DTYPE)
-        cols = np.full((n_shards, wdt, rmax), g.n, T.VID_DTYPE)
+        cols = np.full((n_shards, wdt, rmax), pad_n, T.VID_DTYPE)
         vals = np.zeros((n_shards, wdt, rmax), np.float32) \
             if weighted else None
         for s, b in enumerate(per):
             if b is None:
                 continue
             r = b.row_ids.shape[0]
-            rids[s, :r] = b.row_ids  # local ids already (sub matrix)
-            # local sentinel from build_ell is hi-lo; remap to mb
-            rids[s, :r][b.row_ids >= (min((s + 1) * mb, m) - s * mb)] = mb
+            rids[s, :r] = b.row_ids
+            # build_ell's local row sentinel is (hi-lo); remap to mb
+            local_rows = int(bounds[s + 1] - bounds[s])
+            rids[s, :r][b.row_ids >= local_rows] = mb
             cols[s, :, :r] = b.cols
             if weighted:
                 vals[s, :, :r] = b.vals
         buckets.append((rids, cols, vals))
-    return ShardedEll(buckets=tuple(buckets)), mb
+    return Partition1D(ShardedEll(buckets=tuple(buckets)), bounds, mb)

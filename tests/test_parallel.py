@@ -23,19 +23,21 @@ def mesh():
     return make_mesh(8)
 
 
-def test_pr_dist_matches_single(mesh):
+@pytest.mark.parametrize("balance", ["vertices", "edges"])
+def test_pr_dist_matches_single(mesh, balance):
     from gardenia_tpu.solvers.pr import pr_solver
     g = random_graph(m=257, avg_deg=6, seed=1)
-    d = pr_solver_dist(g, mesh=mesh)
+    d = pr_solver_dist(g, mesh=mesh, balance=balance)
     s = pr_solver(g)
     assert int(d.iterations) == int(s.iterations)
     np.testing.assert_allclose(np.asarray(d.scores),
                                np.asarray(s.scores), atol=1e-6)
 
 
-def test_bfs_dist_matches_oracle(mesh):
+@pytest.mark.parametrize("balance", ["vertices", "edges"])
+def test_bfs_dist_matches_oracle(mesh, balance):
     g = load_graph(f"{DATASETS}/chesapeake.mtx", "mtx", symmetrize=True)
-    res = bfs_solver_dist(g, 0, mesh=mesh)
+    res = bfs_solver_dist(g, 0, mesh=mesh, balance=balance)
     np.testing.assert_array_equal(np.asarray(res.dist),
                                   oracles.bfs_serial(g, 0))
 
