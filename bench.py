@@ -128,8 +128,29 @@ def bench_tc(scale: int):
                        "ms": round(secs * 1e3, 3), "nnz": g.nnz}}
 
 
+BASELINE_BC_GTEPS = 5.0   # A100-class per-source Brandes rate
+
+
+def bench_bc(scale: int, sources: int = 64):
+    """Batched multi-source Brandes — the TPU-native headline: S sources
+    traverse in the lane dim at ~the cost of one."""
+    import numpy as np
+    from gardenia_tpu.solvers.bc import bc_batched
+    from gardenia_tpu.utils.timer import time_op
+    g = get_graph(scale, need_reverse=True)
+    srcs = np.arange(sources)
+    res, secs = time_op(lambda: bc_batched(g, srcs), warmup=1, iters=2)
+    # Brandes traverses each edge twice (forward + backward) per source
+    gteps = 2 * g.nnz * sources / secs / 1e9
+    return {"metric": f"bc_batched{sources}_gteps_rmat{scale}",
+            "value": round(gteps, 3), "unit": "GTEPS",
+            "vs_baseline": round(gteps / BASELINE_BC_GTEPS, 4),
+            "detail": {"sources": sources, "levels": int(res.iterations),
+                       "ms": round(secs * 1e3, 3), "nnz": g.nnz}}
+
+
 KERNELS = {"pr": bench_pr, "spmv": bench_spmv, "bfs": bench_bfs,
-           "cc": bench_cc, "tc": bench_tc}
+           "cc": bench_cc, "tc": bench_tc, "bc": bench_bc}
 
 
 def main():

@@ -155,6 +155,47 @@ def bfs_do(g, source: int) -> BFSResult:
     return BFSResult(dist, jnp.int32(iters))
 
 
+def bfs_multi_source(g, sources) -> BFSResult:
+    """Batched multi-source BFS: S sources traverse simultaneously in
+    the lane dimension (state (m, S)); per-edge gathers fetch whole
+    per-source rows so the batch costs about one traversal
+    (ops/spmv.spmv_batched — the TPU-native take on the reference's
+    hybrid multi-source variants).  Returns dist with shape (m, S)."""
+    from gardenia_tpu.ops.spmv import spmv_batched
+    from gardenia_tpu.solvers.bc import _coo_sorted
+
+    m = g.m
+    sources = jnp.asarray(np.asarray(sources, np.int32))
+    S = sources.shape[0]
+    in_dst, in_src = _coo_sorted(g, reverse=True)
+
+    def build():
+        @jax.jit
+        def run(sources):
+            j = jnp.arange(S, dtype=jnp.int32)
+            dist0 = jnp.full((m, S), INF, jnp.int32).at[sources, j].set(0)
+
+            def cond(state):
+                _, alive, _ = state
+                return alive
+
+            def body(state):
+                dist, _, d = state
+                frontier = (dist == d).astype(jnp.float32)
+                cnt = spmv_batched(in_dst, in_src, frontier, num_rows=m)
+                newly = (cnt > 0) & (dist == INF)
+                dist = jnp.where(newly, d + 1, dist)
+                return dist, jnp.any(newly), d + 1
+
+            dist, _, depth = jax.lax.while_loop(
+                cond, body, (dist0, jnp.bool_(True), jnp.int32(0)))
+            return BFSResult(dist, depth)
+        return run
+
+    run = g._dev(("msbfs_run", S), build)
+    return run(sources)
+
+
 VARIANTS = {"pull": bfs_pull, "do": bfs_do}
 
 
