@@ -131,7 +131,7 @@ def bench_tc(scale: int):
 BASELINE_BC_GTEPS = 5.0   # A100-class per-source Brandes rate
 
 
-def bench_bc(scale: int, sources: int = 64):
+def bench_bc(scale: int, sources: int = 128):
     """Batched multi-source Brandes — the TPU-native headline: S sources
     traverse in the lane dim at ~the cost of one."""
     import numpy as np

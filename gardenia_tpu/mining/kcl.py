@@ -108,9 +108,11 @@ def kcl_solver(g, k: int, *, chunk: int = 1 << 18) -> int:
         outs: List[np.ndarray] = []
         for start in range(0, total_wedges, chunk):
             if count_only:
-                total += int(step(members_d, cum_d, start, total_wedges))
+                total += int(step(members_d, cum_d,
+                                  jnp.int64(start), total_wedges))
             else:
-                new_m, n_new = step(members_d, cum_d, start, total_wedges)
+                new_m, n_new = step(members_d, cum_d,
+                                    jnp.int64(start), total_wedges)
                 n_new = int(n_new)
                 if n_new:
                     outs.append(np.asarray(new_m)[:, :n_new])

@@ -73,7 +73,7 @@ def edge_triangle_counts(g, chunk: int = 1 << 20) -> np.ndarray:
 
     tri = jnp.zeros((nnz,), jnp.int32)
     for start in range(0, total, chunk):
-        tri = step(start, tri)
+        tri = step(jnp.int64(start), tri)
     return np.asarray(tri)
 
 

@@ -107,9 +107,11 @@ def count_pattern(g, spec: PatternSpec, *, chunk: int = 1 << 18) -> int:
         outs: List[np.ndarray] = []
         for start in range(0, total, chunk):
             if count_only:
-                total_count += int(step(members_d, cum_d, start, total))
+                total_count += int(step(members_d, cum_d,
+                                        jnp.int64(start), total))
             else:
-                new_m, n_new = step(members_d, cum_d, start, total)
+                new_m, n_new = step(members_d, cum_d,
+                                    jnp.int64(start), total)
                 n_new = int(n_new)
                 if n_new:
                     outs.append(np.asarray(new_m)[:, :n_new])

@@ -68,12 +68,16 @@ def bc_batched(g, sources) -> BCResult:
 
             def fbody(state):
                 depth, sigma, _, d = state
-                frontier = (depth == d).astype(jnp.float32)
-                cnt = pull_in(frontier)
+                # fused pull: frontier indicator and sigma contributions
+                # share one gather+segment pass (lanes [0:S] and [S:2S])
+                on_level = depth == d
+                both = jnp.concatenate(
+                    [on_level.astype(jnp.float32),
+                     jnp.where(on_level, sigma, 0.0)], axis=1)
+                pulled = pull_in(both)
+                cnt, paths = pulled[:, :S], pulled[:, S:]
                 newly = (cnt > 0) & (depth == INF)
                 depth = jnp.where(newly, d + 1, depth)
-                contrib = jnp.where(depth == d, sigma, 0.0)
-                paths = pull_in(contrib)
                 sigma = jnp.where(newly, paths, sigma)
                 return depth, sigma, jnp.any(newly), d + 1
 
