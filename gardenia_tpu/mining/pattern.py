@@ -14,7 +14,7 @@ processed in fixed-size chunks so memory stays bounded.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Tuple
 
 import jax

@@ -22,7 +22,7 @@ TPU variants:
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
