@@ -172,9 +172,30 @@ def bench_bc(scale: int, sources: int = 128):
                        "ms": round(secs * 1e3, 3), "nnz": g.nnz}}
 
 
+BASELINE_SGD_MRPS = 500.0   # A100-class MF-SGD ratings/s (K=20)
+
+
+def bench_sgd(scale: int, epochs: int = 10):
+    """SGD matrix factorization training throughput (ratings/s x K=20
+    latent dims; einsum contractions ride the MXU)."""
+    from gardenia_tpu.solvers.sgd import sgd_solver
+    from gardenia_tpu.utils.timer import time_op
+    g = get_graph(scale, need_reverse=False)
+    res, secs = time_op(
+        lambda: sgd_solver(g, max_iters=epochs, epsilon=0.0),
+        warmup=1, iters=2)
+    mrps = g.nnz * epochs / secs / 1e6
+    return {"metric": f"sgd_mf_mrps_rmat{scale}", "value": round(mrps, 2),
+            "unit": "M ratings/s",
+            "vs_baseline": round(mrps / BASELINE_SGD_MRPS, 4),
+            "detail": {"epochs": epochs, "ms": round(secs * 1e3, 3),
+                       "final_rmse": float(np.asarray(res.rmse)[
+                           int(res.iterations) - 1]), "nnz": g.nnz}}
+
+
 KERNELS = {"pr": bench_pr, "spmv": bench_spmv, "bfs": bench_bfs,
            "msbfs": bench_msbfs, "cc": bench_cc, "tc": bench_tc,
-           "bc": bench_bc}
+           "bc": bench_bc, "sgd": bench_sgd}
 
 
 def main():

@@ -12,8 +12,6 @@ role of the shared Bitmap.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

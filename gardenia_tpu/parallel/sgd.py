@@ -20,7 +20,7 @@ from jax.sharding import PartitionSpec as P
 
 from gardenia_tpu.core import types as T
 from gardenia_tpu.parallel.mesh import make_mesh
-from gardenia_tpu.solvers.sgd import (DEFAULT_LAMBDA, DEFAULT_STEP, K,
+from gardenia_tpu.solvers.sgd import (DEFAULT_LAMBDA, DEFAULT_STEP,
                                       init_latent)
 
 

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gardenia_tpu.ops.spmv import spmv_segment
 
 
 class SCCResult(NamedTuple):

@@ -7,8 +7,6 @@ from __future__ import annotations
 import os
 from typing import Dict
 
-import numpy as np
-
 
 def graph_stats(g) -> Dict:
     deg = g.degrees

@@ -49,12 +49,17 @@ def main():
     failures = 0
     for kernel in kernels:
         for ft, path, sym in datasets:
-            cmd = [sys.executable, "-m", "gardenia_tpu.cli", kernel]
+            cmd = [sys.executable, "-u", "-m", "gardenia_tpu.cli", kernel]
             if args.device:
                 cmd.append(f"--device={args.device}")
             cmd += [ft, path, sym]
             t0 = time.time()
-            proc = subprocess.run(cmd, capture_output=True, text=True)
+            env = dict(os.environ,
+                       JAX_COMPILATION_CACHE_DIR=os.path.abspath(
+                           ".bench_cache/xla"),
+                       JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="5")
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  env=env)
             out = proc.stdout
             ok = "Correct" in out
             status = "PASS" if ok else "FAIL"
@@ -63,7 +68,7 @@ def main():
             runtime = next((ln.strip() for ln in out.splitlines()
                             if "runtime [" in ln), "")
             print(f"[{status}] {kernel:6s} {os.path.basename(path):22s} "
-                  f"{runtime}  ({time.time()-t0:.1f}s)")
+                  f"{runtime}  ({time.time()-t0:.1f}s)", flush=True)
             if not ok and proc.stderr:
                 print("  stderr:", proc.stderr.strip().splitlines()[-1])
     print(f"\n{len(kernels) * len(datasets) - failures} passed, "
