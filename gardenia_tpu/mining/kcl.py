@@ -24,7 +24,42 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _expand_level(rowptr, colidx, nnz, n_members, count_only, chunk):
+def _make_chunk_member(dag):
+    """Adjacency-chunk membership: w in N+(v) by comparing w against
+    v's 128-wide chunk rows (one vectorized row gather + lane compare
+    per chunk — DAG out-degrees are small, so this beats log-degree
+    binary-search probing; the same chunk table drives tc_rotate)."""
+    from gardenia_tpu.solvers.tc import _chunk_table
+
+    def prep():
+        table_h, cstart, nchunk = _chunk_table(dag)
+        table_h = np.concatenate(
+            [table_h, np.full((1, 128), -1, np.int32)], axis=0)
+        return (jnp.asarray(table_h),
+                jnp.asarray(cstart[:-1].astype(np.int32)),
+                jnp.asarray(nchunk.astype(np.int32)),
+                int(nchunk.max()) if len(nchunk) else 1,
+                len(table_h) - 1)
+
+    table, cstart, nchunk, max_chunks, sent = \
+        dag._dev(("kcl_chunk_member",), prep)
+
+    def member(queries, rows):
+        from gardenia_tpu.ops import rowsel
+        base = rowsel.take(cstart, rows)
+        nc = rowsel.take(nchunk, rows)
+        hit = jnp.zeros(queries.shape, bool)
+        for c in range(max_chunks):
+            rowsrc = jnp.where(c < nc, base + c, sent)
+            row = table[rowsrc]                      # (N, 128)
+            hit = hit | jnp.any(row == queries[:, None], axis=1)
+        return hit
+
+    return member
+
+
+def _expand_level(rowptr, colidx, nnz, n_members, count_only, chunk,
+                  member_fn=None):
     """Build the jitted chunk expander for embeddings with n_members
     vertices: wedge j = (embedding e, slot k into N+(v1))."""
 
@@ -42,9 +77,11 @@ def _expand_level(rowptr, colidx, nnz, n_members, count_only, chunk):
                         jnp.minimum(rowsel.take(rowptr, v1) + k_off,
                                     nnz - 1))
         ok = j < total
+        test = member_fn or (
+            lambda q, r: _member(rowptr, colidx, nnz, q, r))
         for i in range(1, n_members):
             vi = rowsel.take(members[i], e)
-            ok = ok & _member(rowptr, colidx, nnz, x, vi)
+            ok = ok & test(x, vi)
         if count_only:
             return jnp.sum(ok.astype(jnp.int32))
         idx = jnp.nonzero(ok, size=chunk, fill_value=chunk - 1)[0]
@@ -84,12 +121,17 @@ def kcl_solver(g, k: int, *, chunk: int = 1 << 18) -> int:
     (mining/kcl_dfs/kcl.h:28). g: undirected (symmetric) graph; the DAG
     orientation is applied internally like the reference driver."""
     assert k >= 3
-    dag = g.oriented()
+    dag = g._dev(("oriented",), g.oriented)
     if dag.nnz == 0:
         return 0
     rowptr, colidx = dag.device_csr()
     nnz = dag.nnz
     deg = np.diff(dag.rowptr)
+    # chunk-compare membership pays max_chunks row gathers per test;
+    # profitable while the DAG's widest adjacency stays within a few
+    # chunks, else fall back to binary search
+    max_chunks = -(-int(deg.max()) // 128) if len(deg) else 1
+    member_fn = _make_chunk_member(dag) if max_chunks <= 8 else None
 
     # level-2 embeddings = DAG edges
     src = np.repeat(np.arange(dag.m, dtype=np.int32), deg)
@@ -104,7 +146,8 @@ def kcl_solver(g, k: int, *, chunk: int = 1 << 18) -> int:
             return 0
         members_d = jnp.asarray(members)
         cum_d = jnp.asarray(cum)
-        step = _expand_level(rowptr, colidx, nnz, level, count_only, chunk)
+        step = _expand_level(rowptr, colidx, nnz, level, count_only,
+                             chunk, member_fn)
         outs: List[np.ndarray] = []
         for start in range(0, total_wedges, chunk):
             if count_only:
