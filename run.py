@@ -18,7 +18,6 @@ import time
 
 FIXTURES = [
     ("mtx", "/root/reference/datasets/chesapeake.mtx", "1"),
-    ("mtx", "/root/reference/test/graphs/pr.mtx", "0"),
 ]
 
 ANALYTICS = ["bfs", "sssp", "pr", "cc", "bc", "vc", "spmv", "symgs",

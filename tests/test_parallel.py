@@ -72,6 +72,29 @@ def test_sgd_dist_trains(mesh):
     assert final < base
 
 
+def test_vc_dist_proper(mesh):
+    from gardenia_tpu.parallel import vc_solver_dist
+    g = random_graph(m=120, avg_deg=6, seed=4, symmetric=True)
+    res = vc_solver_dist(g, mesh=mesh)
+    assert oracles.vc_check(g, np.asarray(res.colors))
+    # same fixed point as the single-chip solver
+    from gardenia_tpu.solvers.vc import vc_solver
+    np.testing.assert_array_equal(np.asarray(res.colors),
+                                  np.asarray(vc_solver(g).colors))
+
+
+def test_scc_dist_matches_oracle(mesh):
+    from gardenia_tpu.parallel import scc_solver_dist
+    g = random_graph(m=100, avg_deg=2, seed=6)
+    res = scc_solver_dist(g, mesh=mesh)
+    root = np.asarray(res.scc_root)
+    expect = oracles.scc_serial(g)
+    _, ia = np.unique(root, return_inverse=True)
+    _, ib = np.unique(expect, return_inverse=True)
+    assert len(np.unique(ia * (ib.max() + 1) + ib)) == len(np.unique(ib))
+    assert len(np.unique(ia)) == len(np.unique(ib))
+
+
 def test_sgd_dist_matches_single_chip(mesh):
     """Distributed dp gradients == single-chip full-batch gradients."""
     from gardenia_tpu.solvers.sgd import sgd_solver
