@@ -193,9 +193,34 @@ def bench_sgd(scale: int, epochs: int = 10):
                            int(res.iterations) - 1]), "nnz": g.nnz}}
 
 
+BASELINE_SSSP_GTEPS = 1.0   # A100-class delta-stepping on road graphs
+
+
+def bench_sssp(scale: int):
+    """Delta-stepping on a weighted grid (road-network class — the
+    road_usa stand-in, BASELINE config 4). side = 2^(scale/2) so the
+    vertex count tracks `scale`; fused on-device bucket loop."""
+    import numpy as np
+    from gardenia_tpu.core.generate import grid_edges
+    from gardenia_tpu.core.graph import from_edges
+    from gardenia_tpu.solvers.sssp import sssp_solver
+    from gardenia_tpu.utils.timer import time_op
+    side = 1 << (scale // 2)
+    g = from_edges(grid_edges(side), symmetrize=True, need_reverse=True)
+    res, secs = time_op(lambda: sssp_solver(g, 0, 512, variant="delta"),
+                        warmup=1, iters=2)
+    gteps = g.nnz / secs / 1e9
+    return {"metric": f"sssp_delta_gteps_grid{side}",
+            "value": round(gteps, 4), "unit": "GTEPS",
+            "vs_baseline": round(gteps / BASELINE_SSSP_GTEPS, 4),
+            "detail": {"rounds": int(res.iterations),
+                       "ms": round(secs * 1e3, 3), "nnz": g.nnz,
+                       "m": g.m}}
+
+
 KERNELS = {"pr": bench_pr, "spmv": bench_spmv, "bfs": bench_bfs,
            "msbfs": bench_msbfs, "cc": bench_cc, "tc": bench_tc,
-           "bc": bench_bc, "sgd": bench_sgd}
+           "bc": bench_bc, "sgd": bench_sgd, "sssp": bench_sssp}
 
 
 def main():
