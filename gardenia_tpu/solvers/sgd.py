@@ -78,13 +78,16 @@ def sgd_solver(g, lam: float = DEFAULT_LAMBDA, step: float = DEFAULT_STEP,
     bipartite rating graph: rows = users, colidx = items (g.n items),
     weights = ratings."""
     m, n = g.m, max(g.n, int(g.colidx.max()) + 1 if g.nnz else 1)
-    src, dst = g.device_coo()
-    ratings = jnp.asarray(
-        (g.weights if g.weights is not None else np.ones(g.nnz))
-        .astype(np.float32))
-    sgd_step = make_sgd_step(src, dst, ratings, lam, step, m, n)
 
-    run = _build_run(g, sgd_step, max_iters, epsilon)
+    def build():
+        src, dst = g.device_coo()
+        ratings = jnp.asarray(
+            (g.weights if g.weights is not None else np.ones(g.nnz))
+            .astype(np.float32))
+        sgd_step = make_sgd_step(src, dst, ratings, lam, step, m, n)
+        return _build_run(g, sgd_step, max_iters, epsilon)
+
+    run = g._dev(("sgd_run", lam, step, max_iters, epsilon), build)
     return run(jnp.asarray(init_latent(m, seed)),
                jnp.asarray(init_latent(n, seed + 1)))
 
