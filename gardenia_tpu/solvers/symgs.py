@@ -59,28 +59,32 @@ def symgs_solver(g, Ax: Optional[np.ndarray] = None,
         colors = np.asarray(vc_solver(g).colors)
     num_colors = int(colors.max()) + 1
 
-    from gardenia_tpu.ops.ell import build_ell
-    ell = g._dev(("symgs_ell", id(Ax)), lambda: jax.tree_util.tree_map(
-        jax.device_put,
-        build_ell(g.rowptr, g.colidx, np.asarray(Ax, np.float32),
-                  num_cols=g.n)))
-    colors_d = jnp.asarray(colors.astype(np.int32))
-    diag_d = jnp.asarray(diag)
-    b_d = jnp.asarray(b)
+    def build():
+        from gardenia_tpu.ops.ell import build_ell
+        ell = jax.tree_util.tree_map(
+            jax.device_put,
+            build_ell(g.rowptr, g.colidx, np.asarray(Ax, np.float32),
+                      num_cols=g.n))
+        colors_d = jnp.asarray(colors.astype(np.int32))
+        diag_d = jnp.asarray(diag)
+        b_d = jnp.asarray(b)
 
-    @jax.jit
-    def run(x):
-        def sweep(x, c):
-            mask = colors_d == c
-            rsum = spmv_ell(ell, x, semiring=F32_PLUS_TIMES, num_rows=m,
-                            row_mask=mask)
-            newx = (b_d - rsum) / diag_d
-            return jnp.where(mask & (diag_d != 0), newx, x)
+        @jax.jit
+        def run(x):
+            def sweep(x, c):
+                mask = colors_d == c
+                rsum = spmv_ell(ell, x, semiring=F32_PLUS_TIMES,
+                                num_rows=m, row_mask=mask)
+                newx = (b_d - rsum) / diag_d
+                return jnp.where(mask & (diag_d != 0), newx, x)
 
-        for c in range(num_colors):          # forward (omp_base.cc:38-39)
-            x = sweep(x, c)
-        for c in range(num_colors - 1, -1, -1):  # backward (:40-41)
-            x = sweep(x, c)
-        return x
+            for c in range(num_colors):      # forward (omp_base.cc:38-39)
+                x = sweep(x, c)
+            for c in range(num_colors - 1, -1, -1):  # backward (:40-41)
+                x = sweep(x, c)
+            return x
+        return run
 
+    run = g._dev(("symgs_run", id(Ax), id(b), id(diag), id(colors)),
+                 build)
     return SymGSResult(run(jnp.asarray(x)), num_colors)
