@@ -17,7 +17,6 @@ rendering of the reference's single-device atomics:
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

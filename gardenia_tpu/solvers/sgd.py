@@ -85,14 +85,14 @@ def sgd_solver(g, lam: float = DEFAULT_LAMBDA, step: float = DEFAULT_STEP,
             (g.weights if g.weights is not None else np.ones(g.nnz))
             .astype(np.float32))
         sgd_step = make_sgd_step(src, dst, ratings, lam, step, m, n)
-        return _build_run(g, sgd_step, max_iters, epsilon)
+        return _build_run(sgd_step, max_iters, epsilon)
 
     run = g._dev(("sgd_run", lam, step, max_iters, epsilon), build)
     return run(jnp.asarray(init_latent(m, seed)),
                jnp.asarray(init_latent(n, seed + 1)))
 
 
-def _build_run(g, sgd_step, max_iters, epsilon):
+def _build_run(sgd_step, max_iters, epsilon):
     @jax.jit
     def run(ulv, ilv):
         def cond(state):
