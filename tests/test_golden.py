@@ -43,6 +43,23 @@ def test_pr_golden_transcript(capsys):
     assert "  4    0.04350" in out
 
 
+ALL_KERNELS = ["bfs", "sssp", "pr", "cc", "bc", "vc", "spmv", "symgs",
+               "tc", "scc", "mst", "sgd", "kcl", "motif", "sgl", "fsm"]
+
+
+@pytest.mark.parametrize("kernel", ALL_KERNELS)
+def test_cli_whole_surface(kernel, capsys):
+    """Every kernel's CLI run on the chesapeake fixture must satisfy its
+    serial oracle ('Correct') — the pytest twin of run.py / make test."""
+    from tests.conftest import DATASETS
+    from gardenia_tpu.cli import main
+    rc = main([kernel, "mtx", f"{DATASETS}/chesapeake.mtx", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Correct" in out, out
+    assert "Wrong" not in out
+
+
 def test_bfs_transcript_contract(capsys):
     from gardenia_tpu.cli import main
     from tests.conftest import DATASETS
