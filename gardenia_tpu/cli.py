@@ -70,7 +70,7 @@ def run_spmv(args, variant="ell"):
     check(err < np.sqrt(np.finfo(np.float32).eps), f"(max rel err {err})")
 
 
-def run_bfs(args, variant="do"):
+def run_bfs(args, variant="pull"):
     """Usage parity: bfs <filetype> <prefix> [symmetrize] [reverse] [source]
     (src/bfs/main.cc:8-19)."""
     print("Breadth-first Search by gardenia_tpu")
