@@ -128,10 +128,10 @@ def bench_cc(scale: int):
     from gardenia_tpu.solvers.cc import cc_solver
     from gardenia_tpu.utils.timer import time_op
     g = get_graph(scale, need_reverse=False)
-    res, secs = time_op(lambda: cc_solver(g, variant="afforest"),
+    res, secs = time_op(lambda: cc_solver(g, variant="sv"),
                         warmup=1, iters=3)
     ms_per_medge = secs * 1e3 / (g.nnz / 1e6)
-    return {"metric": f"cc_afforest_ms_rmat{scale}",
+    return {"metric": f"cc_sv_ms_rmat{scale}",
             "value": round(secs * 1e3, 3), "unit": "ms",
             "vs_baseline": round(BASELINE_CC_MS_PER_MEDGE / ms_per_medge,
                                  4),

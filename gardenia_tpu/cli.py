@@ -99,7 +99,7 @@ def run_sssp(args, variant="delta"):
     check(bool((np.asarray(res.dist) == expect).all()))
 
 
-def run_cc(args, variant="afforest"):
+def run_cc(args, variant="sv"):
     print("Connected Components by gardenia_tpu")
     g, _ = _load(args, symmetrize_default=True, need_reverse=True)
     from gardenia_tpu.solvers.cc import cc_solver

@@ -55,10 +55,19 @@ def _coo(g):
 
 
 def cc_sv(g) -> CCResult:
+    """Gather-only Shiloach-Vishkin: per round one min-select slab SpMV
+    (in+out directions for directed graphs) gives each vertex its
+    minimum neighbor label; hooking scatters only m root entries (not
+    2*nnz edge entries — scalar scatters are the expensive op on TPU,
+    PERFORMANCE.md), then full pointer jumping."""
+    from gardenia_tpu.ops import I32_MIN_SELECT2, spmv_ell
+
     m = g.m
 
     def build():
-        src, dst = _coo(g)
+        ells = [g.ell()]
+        if not g.symmetric:
+            ells.append(g.ell(reverse=True))
 
         @jax.jit
         def run(comp0):
@@ -68,9 +77,20 @@ def cc_sv(g) -> CCResult:
 
             def body(state):
                 comp, _, it = state
-                new = _hook_edges(comp, src, dst, m)
-                new = pointer_jump(new)
-                return new, jnp.any(new != comp), it + 1
+                nbr = None
+                for ell in ells:
+                    y = spmv_ell(ell, comp, semiring=I32_MIN_SELECT2,
+                                 num_rows=m)
+                    nbr = y if nbr is None else jnp.minimum(nbr, y)
+                new = jnp.minimum(comp, nbr)
+                # hook each vertex's current root down to its new label,
+                # and the new label's root likewise (two m-sized
+                # scatters replace the reference Link's per-edge CAS)
+                hooked = comp.at[comp].min(new, mode="drop")
+                hooked = hooked.at[jnp.minimum(nbr, m - 1)].min(
+                    jnp.where(nbr < m, new, m), mode="drop")
+                hooked = pointer_jump(jnp.minimum(hooked, comp))
+                return hooked, jnp.any(hooked != comp), it + 1
 
             comp, _, it = jax.lax.while_loop(
                 cond, body, (comp0, jnp.bool_(True), jnp.int32(0)))
