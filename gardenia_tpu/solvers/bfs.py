@@ -155,6 +155,69 @@ def bfs_do(g, source: int) -> BFSResult:
     return BFSResult(dist, jnp.int32(iters))
 
 
+def bfs_do_fused(g, source: int) -> BFSResult:
+    """Direction-optimizing BFS fused into ONE lax.while_loop: the
+    top-down branch runs with a STATIC edge capacity of E/alpha — valid
+    because the Beamer heuristic switches to bottom-up exactly when the
+    frontier's out-edges exceed E/alpha — so both directions live inside
+    lax.cond with fixed shapes and the whole solve needs zero host
+    round-trips (the tunnel pays ~23 ms per readback, so the host-driven
+    'do' variant loses badly on shallow graphs).
+
+    Measured note (v5e, RMAT-16): the dense 'pull' still wins (69 vs
+    135 ms) because the in-loop compaction's searchsorted over the
+    m-sized prefix runs on XLA's scalar gather path; this variant is the
+    right shape once a vectorized device search lands (CLAUDE.md TODO)."""
+    m, nnz = g.m, g.nnz
+    rowptr, colidx = g.device_csr()
+    in_ell = g.ell(reverse=True)
+    deg = g.device_degrees()
+    cap_e = T.next_pow2(max(nnz // ALPHA, 256))
+
+    def build():
+        @jax.jit
+        def run(source):
+            dist0 = jnp.full((m,), INF, jnp.int32).at[source].set(0)
+            mask0 = jnp.zeros((m,), bool).at[source].set(True)
+
+            def td(args):
+                dist, mask, depth = args
+                from gardenia_tpu.ops import rowsel
+                ids = compact_mask(mask, m, m)
+                src, dst, valid, _ = expand_frontier_edges(
+                    rowptr, colidx, ids, cap_e)
+                unvis = rowsel.take(dist, dst) == INF
+                tgt = jnp.where(valid & unvis, dst, m)
+                dist = dist.at[tgt].min(depth + 1, mode="drop")
+                return dist, dist == depth + 1
+
+            def bu(args):
+                dist, mask, depth = args
+                cnt = spmv_ell(in_ell, mask.astype(jnp.int32),
+                               semiring=I32_PLUS_TIMES, num_rows=m)
+                newly = (cnt > 0) & (dist == INF)
+                return jnp.where(newly, depth + 1, dist), newly
+
+            def cond(state):
+                _, mask, _ = state
+                return jnp.any(mask)
+
+            def body(state):
+                dist, mask, depth = state
+                scout = frontier_degree_sum(mask, deg)
+                dist, newly = jax.lax.cond(
+                    scout <= nnz // ALPHA, td, bu, (dist, mask, depth))
+                return dist, newly, depth + 1
+
+            dist, _, depth = jax.lax.while_loop(
+                cond, body, (dist0, mask0, jnp.int32(0)))
+            return BFSResult(dist, depth)
+        return run
+
+    run = g._dev(("bfs_dofused_run",), build)
+    return run(jnp.int32(source))
+
+
 def bfs_multi_source(g, sources) -> BFSResult:
     """Batched multi-source BFS: S sources traverse simultaneously in
     the lane dimension (state (m, S)); per-edge gathers fetch whole
@@ -196,7 +259,7 @@ def bfs_multi_source(g, sources) -> BFSResult:
     return run(sources)
 
 
-VARIANTS = {"pull": bfs_pull, "do": bfs_do}
+VARIANTS = {"pull": bfs_pull, "do": bfs_do, "do_fused": bfs_do_fused}
 
 
 def bfs_solver(g, source: int = 0, *, variant: str = "do") -> BFSResult:
