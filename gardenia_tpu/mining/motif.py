@@ -81,8 +81,17 @@ def codegree_cycle_quads(g) -> int:
     """C_non = sum over unordered non-center pairs of C(codeg, 2) / 2.
 
     Enumerates wedges per center and counts duplicate endpoint pairs.
-    Host implementation (sort-based); device chunking is a perf TODO."""
+    Host implementation (sort-based); device chunking is a perf TODO.
+    The wedge space is Theta(sum deg^2) — guarded against blow-up on
+    power-law graphs (use k=3 there; exact C4 at scale is a known hard
+    kernel, cf. ESCAPE)."""
     m = g.m
+    deg = np.diff(g.rowptr).astype(np.int64)
+    wedge_total = int((deg * (deg - 1) // 2).sum())
+    if wedge_total > 200_000_000:
+        raise MemoryError(
+            f"4-cycle census needs {wedge_total:.2e} wedges; too large "
+            "for the host sort path — use motif_solver(g, k=3)")
     rp, ci = g.rowptr, np.asarray(g.colidx, dtype=np.int64)
     keys = []
     for v in range(m):
