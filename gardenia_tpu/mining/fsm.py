@@ -48,9 +48,9 @@ def fsm_solver(g, k: int = 2, minsup: int = 2,
     (deterministic), matching the converter's labeling fallback."""
     if k < 1:
         return 0
-    if k > 2:
+    if k > 3:
         raise NotImplementedError(
-            "fsm_solver currently supports max pattern size k <= 2 edges")
+            "fsm_solver currently supports max pattern size k <= 3 edges")
     m = g.m
     if labels is None:
         labels = g.vlabels
@@ -120,6 +120,89 @@ def fsm_solver(g, k: int = 2, minsup: int = 2,
     wkeys = (lc * nlab + lp) * nlab + lq
     sup2 = _support_from_domains(wkeys, c, p, q)
     total += sum(1 for s in sup2.values() if s >= minsup)
+    if k == 2:
+        return total
+    total += _level3_count(g, labels, nlab, minsup)
+    return total
+
+
+def _level3_count(g, labels, nlab, minsup) -> int:
+    """Frequent 3-edge patterns: triangle (3 vertices), 3-star and
+    3-path (4 vertices).  Non-induced edge-subgraph embeddings
+    (Pangolin/gSpan convention); each embedding maps to its canonical
+    position order (automorphisms quotiented by (label, id) sorting /
+    lexicographic reversal for paths), MNI = min distinct vertices per
+    canonical position."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    m = g.m
+    rp, ci = g.rowptr, g.colidx
+    deg = np.diff(rp).astype(np.int64)
+    star_work = int((deg * (deg - 1) * (deg - 2) // 6).sum())
+    path_work = int(((deg - 1) ** 2).clip(0).sum()) * 4
+    if star_work + path_work > 50_000_000:
+        raise MemoryError(
+            "3-edge pattern space too large for the host enumerator; "
+            "run FSM with k <= 2 on this graph")
+    adj = [np.asarray(ci[rp[v]:rp[v + 1]]) for v in range(m)]
+    adjset = [set(a.tolist()) for a in adj]
+
+    def add(doms, key, verts):
+        d = doms[key]
+        while len(d) < len(verts):
+            d.append(set())
+        for i, v in enumerate(verts):
+            d[i].add(v)
+
+    tri = defaultdict(list)
+    star = defaultdict(list)
+    path = defaultdict(list)
+
+    for b in range(m):
+        nb = adj[b]
+        # triangles with b as the smallest id
+        for cix in nb[nb > b]:
+            common = [w for w in adj[int(cix)] if w > int(cix)
+                      and w in adjset[b]]
+            for w in common:
+                verts = sorted((b, int(cix), int(w)),
+                               key=lambda v: (labels[v], v))
+                key = ("t",) + tuple(int(labels[v]) for v in verts)
+                add(tri, key, verts)
+        # 3-stars centered at b
+        if len(nb) >= 3:
+            for leaves in combinations(nb.tolist(), 3):
+                ls = sorted(leaves, key=lambda v: (labels[v], v))
+                key = ("s", int(labels[b])) + \
+                    tuple(int(labels[v]) for v in ls)
+                add(star, key, [b] + ls)
+        # 3-paths a-b-c-d with (b, c) the middle edge, b < c to
+        # enumerate each middle edge once
+        for c_ in nb[nb > b]:
+            c_ = int(c_)
+            for a in adj[b]:
+                a = int(a)
+                if a == c_:
+                    continue
+                for d_ in adj[c_]:
+                    d_ = int(d_)
+                    if d_ == b or d_ == a:
+                        continue
+                    seq = (a, b, c_, d_)
+                    labseq = tuple(int(labels[v]) for v in seq)
+                    rev = seq[::-1]
+                    rlab = labseq[::-1]
+                    if (rlab, rev) < (labseq, seq):
+                        seq, labseq = rev, rlab
+                    key = ("p",) + labseq
+                    add(path, key, list(seq))
+
+    total = 0
+    for doms in (tri, star, path):
+        for d in doms.values():
+            if min(len(s) for s in d) >= minsup:
+                total += 1
     return total
 
 
@@ -180,4 +263,47 @@ def fsm_verifier(g, k: int = 2, minsup: int = 2,
                 wdoms[key][2].add(yy)
     total += sum(1 for d in wdoms.values()
                  if min(map(len, d)) >= minsup)
+    if k == 2:
+        return total
+
+    # 3-edge patterns by brute force over vertex tuples (independent of
+    # the solver's per-middle-edge enumeration)
+    import itertools
+    from collections import defaultdict as dd
+    doms = dd(dict)
+
+    def add(key, verts):
+        d = doms[key]
+        for i, v in enumerate(verts):
+            d.setdefault(i, set()).add(v)
+
+    has = lambda a, b: b in adj[a]  # noqa: E731
+    for sub in itertools.combinations(range(m), 3):
+        a, b, c = sub
+        if has(a, b) and has(b, c) and has(a, c):
+            vs = sorted(sub, key=lambda v: (labels[v], v))
+            add(("t",) + tuple(int(labels[v]) for v in vs), vs)
+    for sub in itertools.combinations(range(m), 4):
+        for center in sub:
+            rest = [v for v in sub if v != center]
+            if all(has(center, v) for v in rest):
+                ls = sorted(rest, key=lambda v: (labels[v], v))
+                add(("s", int(labels[center])) +
+                    tuple(int(labels[v]) for v in ls), [center] + ls)
+        seen = set()
+        for perm in itertools.permutations(sub):
+            aa, bb, cc2, dd2 = perm
+            if not (has(aa, bb) and has(bb, cc2) and has(cc2, dd2)):
+                continue
+            if (dd2, cc2, bb, aa) in seen:
+                continue
+            seen.add(perm)
+            labseq = tuple(int(labels[v]) for v in perm)
+            rev = perm[::-1]
+            rlab = labseq[::-1]
+            if (rlab, rev) < (labseq, perm):
+                perm, labseq = rev, rlab
+            add(("p",) + labseq, list(perm))
+    total += sum(1 for d in doms.values()
+                 if min(len(s) for s in d.values()) >= minsup)
     return total

@@ -51,7 +51,7 @@ def test_sgl_random(pattern):
     assert sgl_solver(g, pattern) == sgl_verifier(g, pattern)
 
 
-@pytest.mark.parametrize("k,minsup", [(1, 2), (2, 3)])
+@pytest.mark.parametrize("k,minsup", [(1, 2), (2, 3), (3, 2), (3, 4)])
 def test_fsm_random(k, minsup):
     from gardenia_tpu.mining.fsm import fsm_solver, fsm_verifier
     g = random_graph(m=45, avg_deg=4, seed=7, symmetric=True)
