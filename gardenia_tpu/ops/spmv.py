@@ -102,6 +102,47 @@ def spmv_batched(row_ids_sorted: jax.Array,
                                indices_are_sorted=True)
 
 
+def make_push_pb(g, weights=None):
+    """Propagation-blocking push SpMV (reference include/prop_blocking.h
+    + src/pr/pb.cc): the preprocessing step computes, once, where each
+    source-ordered edge product lands in destination-bin order (the
+    reference's pos/addr scatter maps).  On TPU that map is a STATIC
+    permutation, so the binning phase becomes a rowsel gather (no
+    scatter), and the accumulate phase a sorted segment-sum:
+
+      phase 1: products in src order   = repeat contrib along out-CSR
+      phase 2: y = segment_sum(products[perm], dst_sorted)
+
+    weights: optional edge values in forward-CSR edge order.
+    Returns a jit-ready fn(x) -> y computing y[i] = sum A[j,i] x[j]
+    (push along out-edges, i.e. the transpose product)."""
+    import numpy as np_
+
+    from gardenia_tpu.core import build as _build
+    from gardenia_tpu.ops import rowsel
+
+    src, dst = _build.csr_to_coo(g.rowptr, g.colidx)
+    order = np_.argsort(dst, kind="stable")     # dst-bin order
+    perm = jnp.asarray(order.astype(np_.int32))
+    dst_sorted = jnp.asarray(dst[order].astype(np_.int32))
+    src_d = jnp.asarray(src.astype(np_.int32))
+    # weights arrive in forward-CSR (source) edge order
+    w = None if weights is None else \
+        jnp.asarray(np_.asarray(weights, np_.float32))
+    n_rows = g.n
+
+    def push(x):
+        contrib = rowsel.take(x.astype(jnp.float32), src_d)  # src order
+        if w is not None:
+            contrib = contrib * w
+        binned = rowsel.take(contrib, perm)                  # dst order
+        return jax.ops.segment_sum(binned, dst_sorted,
+                                   num_segments=n_rows,
+                                   indices_are_sorted=True)
+
+    return push
+
+
 def spmv_segment(row_ids: jax.Array,
                  col_ids: jax.Array,
                  vals: Optional[jax.Array],

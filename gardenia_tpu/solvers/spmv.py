@@ -7,6 +7,8 @@ bucketing replaces the per-row thread-count choice); `variant` selects the
 device implementation:
   'ell'     — degree-bucketed slabs (default, fastest)
   'segment' — COO scatter-add (reference 'push' analog)
+  'push_pb' — propagation-blocking push: static dst-bin permutation +
+              sorted segment-sum (reference prop_blocking.h / pr/pb.cc)
 """
 
 from __future__ import annotations
@@ -33,6 +35,15 @@ def spmv_solver(g, Ax=None, x=None, y=None, *, variant: str = "ell"):
     x = jnp.asarray(x, dtype=jnp.float32)
     y = jnp.zeros(g.m, jnp.float32) if y is None \
         else jnp.asarray(y, dtype=jnp.float32)
+
+    if variant == "push_pb":
+        # push computes y += A^T x over the stored CSR; callers wanting
+        # the forward product pass the graph pre-transposed, exactly as
+        # the reference pb variants use the reverse edge list
+        from gardenia_tpu.ops.spmv import make_push_pb
+        fn = g._dev(("spmv_pb_run", id(Ax)),
+                    lambda: jax.jit(make_push_pb(g, weights=Ax)))
+        return fn(x) + y
 
     if variant == "segment":
         def build_seg():

@@ -66,3 +66,19 @@ def test_pr_chesapeake_oracle():
     res = pr_solver(g)
     resid = oracles.pagerank_push_residual(g, np.asarray(res.scores))
     assert resid < EPSILON
+
+
+def test_spmv_push_pb_transpose_product():
+    """Propagation-blocking push computes y += A^T x with precomputed
+    dst-bin permutation maps (reference prop_blocking.h)."""
+    g = random_graph(m=140, avg_deg=7, seed=8, weighted=True)
+    x = np.random.default_rng(4).random(g.m).astype(np.float32)
+    y0 = np.random.default_rng(5).random(g.n).astype(np.float32)
+    from gardenia_tpu.solvers.spmv import spmv_solver
+    y = np.asarray(spmv_solver(g, np.asarray(g.weights, np.float32), x,
+                               y0, variant="push_pb"))
+    from gardenia_tpu.core import build
+    s, d = build.csr_to_coo(g.rowptr, g.colidx)
+    expect = y0.astype(np.float64).copy()
+    np.add.at(expect, d, np.asarray(g.weights) * x[s])
+    assert maximum_relative_error(y, expect) < SQRT_EPS
