@@ -131,7 +131,9 @@ def kcl_solver(g, k: int, *, chunk: int = 1 << 18) -> int:
     # profitable while the DAG's widest adjacency stays within a few
     # chunks, else fall back to binary search
     max_chunks = -(-int(deg.max()) // 128) if len(deg) else 1
-    member_fn = _make_chunk_member(dag) if max_chunks <= 8 else None
+    member_fn = dag._dev(("kcl_member_fn",),
+                         lambda: _make_chunk_member(dag)) \
+        if max_chunks <= 8 else None
 
     # level-2 embeddings = DAG edges
     src = np.repeat(np.arange(dag.m, dtype=np.int32), deg)
@@ -146,8 +148,10 @@ def kcl_solver(g, k: int, *, chunk: int = 1 << 18) -> int:
             return 0
         members_d = jnp.asarray(members)
         cum_d = jnp.asarray(cum)
-        step = _expand_level(rowptr, colidx, nnz, level, count_only,
-                             chunk, member_fn)
+        step = dag._dev(
+            ("kcl_step", level, count_only, chunk),
+            lambda: _expand_level(rowptr, colidx, nnz, level,
+                                  count_only, chunk, member_fn))
         outs: List[np.ndarray] = []
         for start in range(0, total_wedges, chunk):
             if count_only:
