@@ -87,23 +87,43 @@ def codegree_cycle_quads(g) -> int:
     kernel, cf. ESCAPE)."""
     m = g.m
     deg = np.diff(g.rowptr).astype(np.int64)
-    wedge_total = int((deg * (deg - 1) // 2).sum())
+    pairs_per_v = deg * (deg - 1) // 2
+    wedge_total = int(pairs_per_v.sum())
     if wedge_total > 200_000_000:
         raise MemoryError(
             f"4-cycle census needs {wedge_total:.2e} wedges; too large "
             "for the host sort path — use motif_solver(g, k=3)")
-    rp, ci = g.rowptr, np.asarray(g.colidx, dtype=np.int64)
-    keys = []
-    for v in range(m):
-        nb = ci[rp[v]:rp[v + 1]]
-        if len(nb) < 2:
-            continue
-        iu, iw = np.triu_indices(len(nb), k=1)
-        keys.append(nb[iu] * m + nb[iw])
-    if not keys:
+    if wedge_total == 0:
         return 0
-    _, counts = np.unique(np.concatenate(keys), return_counts=True)
-    return int((counts.astype(object) * (counts - 1) // 2).sum()) // 2
+    rp, ci = g.rowptr, np.asarray(g.colidx, dtype=np.int64)
+    # fully vectorized wedge-pair enumeration: global pair slot q ->
+    # (center v, unordered slot pair i<j) via triangular unranking
+    cum = np.cumsum(pairs_per_v)
+    v = np.repeat(np.arange(m, dtype=np.int64), pairs_per_v)
+    q = np.arange(wedge_total, dtype=np.int64) - np.repeat(
+        cum - pairs_per_v, pairs_per_v)
+    d = deg[v]
+    # i = smallest row index whose block contains q; unrank with a
+    # float estimate then exact fix-up (float64 sqrt can be off by 1)
+    i = ((2 * d - 1) - np.sqrt((2 * d - 1) ** 2 - 8 * q)) // 2
+    i = i.astype(np.int64)
+
+    def start_of(i):
+        return i * (2 * d - i - 1) // 2
+
+    i = np.where(start_of(i) > q, i - 1, i)
+    i = np.where(start_of(i + 1) <= q, i + 1, i)
+    j = q - start_of(i) + i + 1
+    u = ci[rp[v] + i]
+    w = ci[rp[v] + j]
+    keys = u * m + w
+    keys.sort(kind="stable")
+    boundary = np.empty(wedge_total, bool)
+    boundary[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=boundary[1:])
+    starts = np.nonzero(boundary)[0]
+    counts = np.diff(np.concatenate([starts, [wedge_total]]))
+    return int((counts * (counts - 1) // 2).sum()) // 2
 
 
 def motif_solver(g, k: int = 3) -> Dict[str, int]:
