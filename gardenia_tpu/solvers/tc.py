@@ -29,6 +29,9 @@ from gardenia_tpu.core import types as T
 from gardenia_tpu.ops.intersect import membership_counts
 
 LANES = 128
+# per-slice wedge budget for the bsearch variant (tests shrink this to
+# exercise multi-slice processing)
+WEDGE_SLICE_LIMIT = 2 ** 31
 
 
 def _chunk_table(dag):
@@ -123,7 +126,11 @@ def tc_rotate(g, *, chunk: int = 1 << 13, presorted_dag: bool = False
 
 def tc_bsearch(g, *, chunk: int = 1 << 20, presorted_dag: bool = False
                ) -> int:
-    """Wedge-space binary-search variant (kept for parity/fallback)."""
+    """Wedge-space binary-search variant (kept for parity/fallback).
+
+    The wedge space is processed in edge-range SLICES so per-slice wedge
+    counts stay within int32 device indexing — graphs with > 2^31 total
+    wedges just take more slices."""
     dag = g if presorted_dag else g._dev(("oriented",), g.oriented)
     m, nnz = dag.m, dag.nnz
     if nnz == 0:
@@ -131,38 +138,56 @@ def tc_bsearch(g, *, chunk: int = 1 << 20, presorted_dag: bool = False
     rowptr, colidx = dag.device_csr()
     deg = np.diff(dag.rowptr)
     src_host = np.repeat(np.arange(m), deg)
-    wedge_per_edge = deg[src_host]
-    cum = np.cumsum(wedge_per_edge, dtype=np.int64)
-    total_wedges = int(cum[-1])
-    assert total_wedges < 2 ** 31, "wedge space exceeds int32 indexing"
-    cum_d = jnp.asarray(cum.astype(np.int32))
-    src_d = jnp.asarray(src_host.astype(np.int32))
+    wpe = deg[src_host].astype(np.int64)
+    cum_all = np.cumsum(wpe)
     max_rounds = max(1, int(np.ceil(np.log2(max(2, deg.max() + 1)))) + 1)
-    n_chunks = max(1, -(-total_wedges // chunk))
+    limit = WEDGE_SLICE_LIMIT - chunk
 
-    def run():
-        def body(c, partials):
+    def make_step(n_edges_static):
+        @jax.jit
+        def step(cum_d, src_sl, col_sl, total):
             from gardenia_tpu.ops import rowsel
-            j = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
-            e = jnp.searchsorted(cum_d, j, side="right").astype(jnp.int32)
-            e = jnp.minimum(e, nnz - 1)
-            base = jnp.where(e > 0, cum_d[jnp.maximum(e - 1, 0)], 0)
-            k = (j - base).astype(jnp.int32)
-            u = rowsel.take(src_d, e)
-            v = rowsel.take(colidx, e)
-            w = rowsel.take(colidx,
-                            jnp.minimum(rowsel.take(rowptr, u) + k,
-                                        nnz - 1))
-            valid = j < total_wedges
-            cnt = membership_counts(rowptr, colidx, w, v, valid,
-                                    search_rounds=max_rounds)
-            return partials.at[c].set(cnt)
 
-        return jax.lax.fori_loop(
-            0, n_chunks, body, jnp.zeros((n_chunks,), jnp.int32))
+            def body(c, acc):
+                j = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+                e = jnp.searchsorted(cum_d, j, side="right") \
+                    .astype(jnp.int32)
+                e = jnp.minimum(e, n_edges_static - 1)
+                base = jnp.where(e > 0, cum_d[jnp.maximum(e - 1, 0)], 0)
+                k = (j - base).astype(jnp.int32)
+                u = rowsel.take(src_sl, e)
+                v = rowsel.take(col_sl, e)
+                w = rowsel.take(colidx,
+                                jnp.minimum(rowsel.take(rowptr, u) + k,
+                                            nnz - 1))
+                valid = j < total
+                return acc + membership_counts(
+                    rowptr, colidx, w, v, valid,
+                    search_rounds=max_rounds)
 
-    jitted = dag._dev(("tc_run", chunk), lambda: jax.jit(run))
-    return int(np.asarray(jitted()).astype(np.int64).sum())
+            n_ch = (total + chunk - 1) // chunk
+            return jax.lax.fori_loop(0, n_ch, body, jnp.int32(0))
+        return step
+
+    total = 0
+    e_lo = 0
+    while e_lo < nnz:
+        base_w = cum_all[e_lo - 1] if e_lo else 0
+        e_hi = int(np.searchsorted(cum_all, base_w + limit,
+                                   side="right"))
+        e_hi = max(e_hi, e_lo + 1)
+        sl = slice(e_lo, e_hi)
+        n_edges = e_hi - e_lo
+        cum_d = jnp.asarray((cum_all[sl] - base_w).astype(np.int32))
+        src_sl = jnp.asarray(src_host[sl].astype(np.int32))
+        col_sl = jnp.asarray(np.asarray(dag.colidx)[sl])
+        slice_wedges = int(cum_all[e_hi - 1] - base_w)
+        step = dag._dev(("tc_bs_step", chunk, n_edges),
+                        lambda: make_step(n_edges))
+        total += int(step(cum_d, src_sl, col_sl,
+                          jnp.int32(slice_wedges)))
+        e_lo = e_hi
+    return total
 
 
 def tc_solver(g, *, variant: str = "rotate", **kw) -> int:

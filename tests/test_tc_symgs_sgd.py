@@ -81,3 +81,13 @@ def test_sgd_gradient_matches_manual():
                                rtol=2e-4, atol=2e-6)
     np.testing.assert_allclose(np.asarray(res.item_lv), ilv0 - step * gi,
                                rtol=2e-4, atol=2e-6)
+
+
+def test_tc_bsearch_multi_slice(monkeypatch):
+    """Graphs whose wedge space exceeds the per-slice budget are
+    processed in edge-range slices (int32-safe)."""
+    import gardenia_tpu.solvers.tc as tcmod
+    g = random_graph(m=110, avg_deg=9, seed=4, symmetric=True)
+    expect = oracles.tc_serial(g.oriented())
+    monkeypatch.setattr(tcmod, "WEDGE_SLICE_LIMIT", 4096)
+    assert tcmod.tc_bsearch(g, chunk=512) == expect
