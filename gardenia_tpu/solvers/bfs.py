@@ -77,7 +77,12 @@ def bfs_pull(g, source: int) -> BFSResult:
 # --- direction-optimizing --------------------------------------------------
 
 def _pow2_at_least(x: int, lo: int = 256) -> int:
-    return max(lo, T.next_pow2(max(int(x), 1)))
+    """Snap to powers of FOUR: halves the number of distinct compiled
+    shapes in the host-driven variants (remote compiles are minutes)."""
+    p = max(lo, T.next_pow2(max(int(x), 1)))
+    if (p.bit_length() - 1) % 2 == 1:   # odd power of two -> next pow4
+        p *= 2
+    return p
 
 
 def bfs_do(g, source: int) -> BFSResult:

@@ -120,3 +120,18 @@ def test_weighted_mtx():
     g = load_graph(f"{DATASETS}/4w.mtx", "mtx")
     assert g.weights is not None
     assert g.m == 14
+
+
+def test_gap_command_line_flags():
+    """GAP getopt parity (reference include/command_line.h flags)."""
+    from gardenia_tpu.core.command_line import (GapFlags, load_from_flags,
+                                                parse_gap_args)
+    fl = parse_gap_args(["-g", "6", "-k", "4", "-s", "-r", "3",
+                         "-d", "8", "-n", "2"])
+    assert fl.scale == 6 and fl.degree == 4 and fl.symmetrize
+    assert fl.start_vertex == 3 and fl.delta == 8 and fl.num_trials == 2
+    g = load_from_flags(fl)
+    assert g.m == 64 and g.symmetric
+    fl2 = parse_gap_args(["-f", f"{TEST_GRAPHS}/pr.mtx"])
+    g2 = load_from_flags(fl2)
+    assert g2.m == 4
