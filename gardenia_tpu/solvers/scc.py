@@ -65,13 +65,28 @@ def scc_solver(g, *, max_rounds: int = None) -> SCCResult:
             def trim_body(state2):
                 root, active, _ = state2
                 ea = edge_active(active)
-                ind = jnp.zeros((m,), jnp.int32).at[dst].add(
-                    ea.astype(jnp.int32))
-                outd = jnp.zeros((m,), jnp.int32).at[src].add(
-                    ea.astype(jnp.int32))
+                ea_i = ea.astype(jnp.int32)
+                ind = jnp.zeros((m,), jnp.int32).at[dst].add(ea_i)
+                outd = jnp.zeros((m,), jnp.int32).at[src].add(ea_i)
                 trivial = active & ((ind == 0) | (outd == 0))
+                # trim-2 (reference FB-Trim): u<->v forming an isolated
+                # 2-cycle (each is the other's only active neighbor) is
+                # an SCC of size 2 — find the unique neighbor with a
+                # scatter-max over the single active edge
+                in_nbr = jnp.full((m,), -1, jnp.int32).at[dst].max(
+                    jnp.where(ea, src, -1))
+                out_nbr = jnp.full((m,), -1, jnp.int32).at[src].max(
+                    jnp.where(ea, dst, -1))
+                cand = active & (ind == 1) & (outd == 1) & \
+                    (in_nbr == out_nbr)
+                v = jnp.clip(out_nbr, 0, m - 1)
+                paired = cand & rowsel.take(cand, v) & \
+                    (rowsel.take(out_nbr, v) == vid)
                 root = jnp.where(trivial, vid, root)
-                return root, active & ~trivial, jnp.any(trivial)
+                root = jnp.where(paired, jnp.minimum(vid, out_nbr),
+                                 root)
+                removed = trivial | paired
+                return root, active & ~removed, jnp.any(removed)
 
             root, active, _ = jax.lax.while_loop(
                 trim_cond, trim_body, (root, active, jnp.bool_(True)))

@@ -65,3 +65,22 @@ def test_mst_unweighted_forest():
     comp = oracles.cc_serial(g)
     expect = g.m - len(np.unique(comp))
     assert float(res.total_weight) == pytest.approx(expect)
+
+
+def test_scc_trim2_chain():
+    """Chains of mutual 2-cycles are settled by trim-2 without FB
+    rounds per pair (reference FB-Trim)."""
+    from gardenia_tpu.core.graph import from_edges
+    from gardenia_tpu.core.io import EdgeListData
+    src, dst = [], []
+    for i in range(0, 20, 2):
+        src += [i, i + 1]
+        dst += [i + 1, i]
+        if i + 2 < 20:
+            src.append(i + 1)
+            dst.append(i + 2)
+    g = from_edges(EdgeListData(20, 20, np.array(src, np.int32),
+                                np.array(dst, np.int32)))
+    res = scc_solver(g)
+    assert partitions_equal(res.scc_root, oracles.scc_serial(g))
+    assert len(np.unique(np.asarray(res.scc_root))) == 10
