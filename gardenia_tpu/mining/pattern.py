@@ -103,7 +103,10 @@ def count_pattern(g, spec: PatternSpec, *, chunk: int = 1 << 18) -> int:
             return 0
         members_d = jnp.asarray(members)
         cum_d = jnp.asarray(cum)
-        step = make_step(level, members.shape[0], count_only)
+        step = g._dev(("pattern_step", spec.name, li,
+                       members.shape[0], count_only, chunk),
+                      lambda: make_step(level, members.shape[0],
+                                        count_only))
         outs: List[np.ndarray] = []
         for start in range(0, total, chunk):
             if count_only:
