@@ -306,6 +306,51 @@ KERNELS = {
 }
 
 
+def _run_dist(kernel, n, args):
+    """Multichip CLI path: pr/bfs/tc/vc/scc over an n-device mesh."""
+    from gardenia_tpu.parallel import (bfs_solver_dist, make_mesh,
+                                       pr_solver_dist, scc_solver_dist,
+                                       tc_solver_dist, vc_solver_dist)
+    mesh = make_mesh(n)
+    print(f"mesh: {n} devices")
+    g, rest = _load(args, symmetrize_default=kernel in ("vc", "tc"),
+                    need_reverse=kernel in ("pr", "bfs"))
+    if kernel == "pr":
+        res, secs = time_op(lambda: pr_solver_dist(g, mesh=mesh))
+        report_runtime(f"pr_dist{n}", secs)
+        resid = oracles.pagerank_push_residual(g, np.asarray(res.scores))
+        return 0 if check(resid < 1e-4) else 1
+    if kernel == "bfs":
+        src = int(rest[1]) if len(rest) > 1 else 0
+        res, secs = time_op(lambda: bfs_solver_dist(g, src, mesh=mesh))
+        report_runtime(f"bfs_dist{n}", secs)
+        ok = bool((np.asarray(res.dist) ==
+                   oracles.bfs_serial(g, src)).all())
+        return 0 if check(ok) else 1
+    if kernel == "tc":
+        total, secs = time_op(lambda: tc_solver_dist(g, mesh=mesh))
+        report_runtime(f"tc_dist{n}", secs)
+        print(f"total_num_triangles = {total}")
+        return 0 if check(total == oracles.tc_serial(g.oriented())) else 1
+    if kernel == "vc":
+        res, secs = time_op(lambda: vc_solver_dist(g, mesh=mesh))
+        report_runtime(f"vc_dist{n}", secs)
+        return 0 if check(oracles.vc_check(
+            g, np.asarray(res.colors))) else 1
+    if kernel == "scc":
+        res, secs = time_op(lambda: scc_solver_dist(g, mesh=mesh))
+        report_runtime(f"scc_dist{n}", secs)
+        root = np.asarray(res.scc_root)
+        expect = oracles.scc_serial(g)
+        _, ia = np.unique(root, return_inverse=True)
+        _, ib = np.unique(expect, return_inverse=True)
+        ok = len(np.unique(ia * (ib.max() + 1) + ib)) == \
+            len(np.unique(ib)) and len(np.unique(ia)) == len(np.unique(ib))
+        return 0 if check(ok) else 1
+    print(f"kernel {kernel!r} has no multichip path")
+    return 1
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] not in KERNELS:
@@ -322,6 +367,19 @@ def main(argv=None):
             # e.g. --device=cpu to bypass the axon TPU tunnel
             import jax
             jax.config.update("jax_platforms", rest[0].split("=", 1)[1])
+        elif rest[0].startswith("--dist="):
+            # multichip run over an n-device mesh (falls back to n
+            # virtual CPU devices when fewer real chips are attached)
+            n = int(rest[0].split("=", 1)[1])
+            import os
+            import jax
+            if jax.device_count() < n:
+                print(f"(only {jax.device_count()} device(s); re-run "
+                      f"with XLA_FLAGS=--xla_force_host_platform_"
+                      f"device_count={n} and --device=cpu for a "
+                      f"virtual mesh)")
+                return 1
+            return _run_dist(kernel, n, rest[1:])
         rest = rest[1:]
     if variant:
         KERNELS[kernel](rest, variant=variant)
