@@ -121,6 +121,11 @@ def kcl_solver(g, k: int, *, chunk: int = 1 << 18) -> int:
     (mining/kcl_dfs/kcl.h:28). g: undirected (symmetric) graph; the DAG
     orientation is applied internally like the reference driver."""
     assert k >= 3
+    if k == 3:
+        # 3-cliques ARE triangles: the lane-rotation intersection kernel
+        # is ~2 orders of magnitude faster than per-wedge membership
+        from gardenia_tpu.solvers.tc import tc_solver
+        return tc_solver(g)
     dag = g._dev(("oriented",), g.oriented)
     if dag.nnz == 0:
         return 0
