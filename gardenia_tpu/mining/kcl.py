@@ -151,6 +151,9 @@ def kcl_solver(g, k: int, *, chunk: int = 1 << 18) -> int:
         total_wedges = int(cum[-1]) if len(cum) else 0
         if total_wedges == 0:
             return 0
+        assert total_wedges < 2 ** 31, (
+            "kCL expansion space exceeds int32 indexing at level "
+            f"{level}; slice the embedding frontier (round-2 TODO)")
         members_d = jnp.asarray(members)
         cum_d = jnp.asarray(cum)
         step = dag._dev(

@@ -101,6 +101,9 @@ def count_pattern(g, spec: PatternSpec, *, chunk: int = 1 << 18) -> int:
         total = int(cum[-1]) if len(cum) else 0
         if total == 0:
             return 0
+        assert total < 2 ** 31, (
+            "pattern expansion space exceeds int32 indexing at level "
+            f"{li}; slice the embedding frontier (round-2 TODO)")
         members_d = jnp.asarray(members)
         cum_d = jnp.asarray(cum)
         step = g._dev(("pattern_step", spec.name, li,
