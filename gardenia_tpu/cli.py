@@ -109,8 +109,12 @@ def run_cc(args, variant="sv"):
     expect = oracles.cc_serial(g)
     _, inv_a = np.unique(comp, return_inverse=True)
     _, inv_b = np.unique(expect, return_inverse=True)
-    consistent = len(np.unique(inv_a * (inv_b.max() + 1) + inv_b)) == \
-        len(np.unique(inv_b))
+    # bijection check: no oracle component split across solver labels AND
+    # the label counts match (a solver that merges distinct components —
+    # e.g. labels everything 0 — must fail; advisor finding r1)
+    consistent = (len(np.unique(inv_a * (inv_b.max() + 1) + inv_b)) ==
+                  len(np.unique(inv_b))
+                  and len(np.unique(inv_a)) == len(np.unique(inv_b)))
     print(f"num_components = {len(np.unique(comp))}")
     check(consistent)
 

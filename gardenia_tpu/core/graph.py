@@ -110,10 +110,17 @@ class Graph:
         return Graph(rp, ci, num_cols=self.n, vlabels=self.vlabels)
 
     # --- device views (cached) --------------------------------------------
-    def _dev(self, key, fn):
+    def _dev(self, key, fn, retain=None):
+        """Cached build of a device view / jitted runner.
+
+        retain: object(s) whose id() participates in `key` (e.g. a caller
+        -supplied weights array).  The cache holds a strong reference so
+        the id can never be recycled by a different object while the
+        entry is alive (advisor finding r1: id()-keyed closures silently
+        served stale results after GC)."""
         if key not in self._device_cache:
-            self._device_cache[key] = fn()
-        return self._device_cache[key]
+            self._device_cache[key] = (fn(), retain)
+        return self._device_cache[key][0]
 
     def device_csr(self, reverse: bool = False):
         """(rowptr i32[m+1], colidx i32[nnz]) on device."""

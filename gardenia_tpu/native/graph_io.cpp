@@ -262,6 +262,11 @@ int gt_parse_edges(const char* path, int fmt,
         s.next_double(&w);
         wt[count] = w;
       }
+      // line-oriented formats: drop any extra per-line fields (e.g.
+      // MatrixMarket 'complex' carries real+imag) so a 4th number is
+      // never consumed as the next edge's src (advisor finding r1;
+      // matches the NumPy fallback's per-line parse in core/io.py)
+      s.skip_line();
       ++count;
     }
   }

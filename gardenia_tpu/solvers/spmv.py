@@ -42,7 +42,8 @@ def spmv_solver(g, Ax=None, x=None, y=None, *, variant: str = "ell"):
         # the reference pb variants use the reverse edge list
         from gardenia_tpu.ops.spmv import make_push_pb
         fn = g._dev(("spmv_pb_run", id(Ax)),
-                    lambda: jax.jit(make_push_pb(g, weights=Ax)))
+                    lambda: jax.jit(make_push_pb(g, weights=Ax)),
+                    retain=Ax)
         return fn(x) + y
 
     if variant == "segment":
@@ -51,7 +52,7 @@ def spmv_solver(g, Ax=None, x=None, y=None, *, variant: str = "ell"):
             vals = jnp.asarray(np.asarray(Ax, np.float32))
             return jax.jit(partial(spmv_segment, src, dst, vals,
                                    semiring=F32_PLUS_TIMES, num_rows=g.m))
-        fn = g._dev(("spmv_seg_run", id(Ax)), build_seg)
+        fn = g._dev(("spmv_seg_run", id(Ax)), build_seg, retain=Ax)
         return fn(x, init=y)
 
     # default: build a weighted ELL with the provided values
@@ -63,5 +64,5 @@ def spmv_solver(g, Ax=None, x=None, y=None, *, variant: str = "ell"):
                       num_cols=g.n))
         return jax.jit(partial(spmv_ell, ell, semiring=F32_PLUS_TIMES,
                                num_rows=g.m))
-    fn = g._dev(("spmv_ell_run", id(Ax)), build_fn)
+    fn = g._dev(("spmv_ell_run", id(Ax)), build_fn, retain=Ax)
     return fn(x, init=y)

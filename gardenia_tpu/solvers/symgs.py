@@ -86,5 +86,5 @@ def symgs_solver(g, Ax: Optional[np.ndarray] = None,
         return run
 
     run = g._dev(("symgs_run", id(Ax), id(b), id(diag), id(colors)),
-                 build)
+                 build, retain=(Ax, b, diag, colors))
     return SymGSResult(run(jnp.asarray(x)), num_colors)

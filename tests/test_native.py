@@ -61,3 +61,23 @@ def test_converter_cli(tmp_path):
     np.testing.assert_array_equal(g.rowptr, g2.rowptr)
     np.testing.assert_array_equal(g.colidx, g2.colidx)
     assert g.vlabels is not None and len(g.vlabels) == g.m
+
+
+def test_native_skips_extra_fields(tmp_path):
+    """Lines with >3 numeric fields (e.g. MatrixMarket 'complex' with
+    real+imag) must not bleed the 4th field into the next edge
+    (advisor finding r1); parity with the NumPy per-line parser."""
+    p = tmp_path / "cplx.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate complex general\n"
+        "3 3 3\n"
+        "1 2 0.5 9.0\n"
+        "2 3 0.25 8.0\n"
+        "3 1 0.125 7.0\n")
+    res = native.parse_edges(str(p), "mtx")
+    assert res is not None
+    m, n, src, dst, wt = res
+    assert (m, n) == (3, 3)
+    np.testing.assert_array_equal(src, [0, 1, 2])
+    np.testing.assert_array_equal(dst, [1, 2, 0])
+    np.testing.assert_allclose(wt, [0.5, 0.25, 0.125])

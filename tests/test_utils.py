@@ -61,3 +61,49 @@ def test_graph_stats_and_env():
     report_stats(s)
     env = env_check()
     assert env["device_count"] >= 1
+
+
+def test_time_op_forces_d2h_on_pytrees():
+    """time_op's timed region must end with a result-dependent D2H (the
+    axon tunnel ignores block_until_ready — CLAUDE.md measured gotcha).
+    Exercise the drain across mixed-dtype / nested pytree results."""
+    import jax.numpy as jnp
+    from gardenia_tpu.utils.timer import _block
+
+    res = {"f": jnp.ones((4, 4)), "i": jnp.arange(3),
+           "b": jnp.array([True, False]),
+           "nested": (jnp.float32(2.5), [jnp.zeros(0)])}
+    out = _block(res)
+    assert out is res
+    r, secs = time_op(lambda: {"x": jnp.arange(8).sum(),
+                               "flag": jnp.array(True)},
+                      warmup=0, iters=1)
+    assert int(r["x"]) == 28 and secs > 0
+    # non-array results pass through untouched
+    assert _block(42) == 42
+
+
+def test_dev_cache_retains_keyed_arrays():
+    """id()-keyed runner caches must hold the keyed array alive so a GC'd
+    array's id can never alias a fresh array (advisor finding r1)."""
+    import gc
+    import numpy as np
+    from gardenia_tpu.solvers.spmv import spmv_solver
+
+    g = random_graph(m=40, avg_deg=4, seed=3, symmetric=True)
+    ax1 = np.random.default_rng(0).random(g.nnz).astype(np.float32)
+    y1 = np.asarray(spmv_solver(g, ax1.copy(), np.ones(g.n, np.float32)))
+    # drop all external refs to the first weights array; the cache entry
+    # must still pin one so subsequent distinct arrays get fresh runners
+    del ax1
+    gc.collect()
+    retained = [v[1] for v in g._device_cache.values() if v[1] is not None]
+    assert retained, "cache dropped the keyed weights array"
+    for _ in range(50):   # many allocations that could recycle the id
+        ax2 = np.random.default_rng(7).random(g.nnz).astype(np.float32)
+        y2 = np.asarray(spmv_solver(g, ax2, np.ones(g.n, np.float32)))
+    expect = np.zeros(g.m, np.float32)
+    src = np.repeat(np.arange(g.m), np.diff(g.rowptr))
+    np.add.at(expect, src, ax2[np.arange(g.nnz)])
+    assert np.allclose(y2, expect, rtol=1e-5), \
+        "stale cached runner served old weights"
