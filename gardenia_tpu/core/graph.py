@@ -175,6 +175,24 @@ class Graph:
             return jax.tree_util.tree_map(jax.device_put, host)
         return self._dev(("ell", reverse, weighted, width_cap), mk)
 
+    def hybrid(self, *, reverse: bool = False, weighted: bool = False,
+               dense_threshold: int = 64):
+        """Device hybrid block-sparse matrix (ops/bsr.py) — the
+        production SpMV layout.  Build block locality first with
+        core/relabel.py on scatter-labeled graphs."""
+        import jax
+
+        def mk():
+            from gardenia_tpu.ops.bsr import build_hybrid
+            rp = self.in_rowptr if reverse else self.rowptr
+            ci = self.in_colidx if reverse else self.colidx
+            w = (self.in_weights if reverse else self.weights) \
+                if weighted else None
+            host = build_hybrid(rp, ci, w, num_cols=self.n,
+                                dense_threshold=dense_threshold)
+            return jax.tree_util.tree_map(jax.device_put, host)
+        return self._dev(("hybrid", reverse, weighted, dense_threshold), mk)
+
     def __repr__(self):
         return (f"Graph(|V|={self.m}, |E|={self.nnz}, "
                 f"symmetric={self.symmetric}, weighted="

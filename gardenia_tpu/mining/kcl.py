@@ -23,6 +23,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# per-slice wedge budget: embedding frontiers whose total expansion
+# space exceeds this are processed in host-side embedding-range slices
+# so all device indices stay int32 (x64 is disabled; the previous
+# jnp.int64 annotations silently truncated — advisor finding r1).
+# Headroom of one max chunk keeps start+chunk inside int32.
+EMB_WEDGE_LIMIT = 2 ** 31 - (1 << 23)
+
+
+def wedge_slices(counts: np.ndarray, limit: int) -> List[tuple]:
+    """Split range(len(counts)) into [lo, hi) slices whose count sums
+    stay <= limit (greedy; one count alone never exceeds it because
+    counts are vertex degrees < 2^31)."""
+    n = len(counts)
+    if n == 0:
+        return []
+    cum = np.cumsum(counts, dtype=np.int64)
+    out = []
+    lo = 0
+    while lo < n:
+        base = cum[lo - 1] if lo else 0
+        hi = int(np.searchsorted(cum, base + limit, side="right"))
+        hi = max(hi, lo + 1)
+        out.append((lo, hi))
+        lo = hi
+    return out
+
 
 def _make_chunk_member(dag):
     """Adjacency-chunk membership: w in N+(v) by comparing w against
@@ -66,8 +92,9 @@ def _expand_level(rowptr, colidx, nnz, n_members, count_only, chunk,
     @partial(jax.jit, static_argnames=())
     def step(members, cum, start, total):
         from gardenia_tpu.ops import rowsel
-        # members: (n_members, N) embedding vertex columns
-        j = start + jnp.arange(chunk, dtype=jnp.int64)
+        # members: (n_members, N) embedding vertex columns; all indices
+        # int32 — callers slice the wedge space under EMB_WEDGE_LIMIT
+        j = start + jnp.arange(chunk, dtype=jnp.int32)
         e = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
         e = jnp.minimum(e, members.shape[1] - 1)
         base = jnp.where(e > 0, cum[jnp.maximum(e - 1, 0)], 0)
@@ -146,31 +173,36 @@ def kcl_solver(g, k: int, *, chunk: int = 1 << 18) -> int:
     total = 0
     for level in range(2, k):
         count_only = level == k - 1
-        wedge_per_emb = deg[members[0]]
-        cum = np.cumsum(wedge_per_emb, dtype=np.int64)
-        total_wedges = int(cum[-1]) if len(cum) else 0
-        if total_wedges == 0:
-            return 0
-        assert total_wedges < 2 ** 31, (
-            "kCL expansion space exceeds int32 indexing at level "
-            f"{level}; slice the embedding frontier (round-2 TODO)")
-        members_d = jnp.asarray(members)
-        cum_d = jnp.asarray(cum)
+        wedge_per_emb = deg[members[0]].astype(np.int64)
+        if int(wedge_per_emb.sum()) == 0:
+            return total
         step = dag._dev(
             ("kcl_step", level, count_only, chunk),
             lambda: _expand_level(rowptr, colidx, nnz, level,
                                   count_only, chunk, member_fn))
         outs: List[np.ndarray] = []
-        for start in range(0, total_wedges, chunk):
-            if count_only:
-                total += int(step(members_d, cum_d,
-                                  jnp.int64(start), total_wedges))
-            else:
-                new_m, n_new = step(members_d, cum_d,
-                                    jnp.int64(start), total_wedges)
-                n_new = int(n_new)
-                if n_new:
-                    outs.append(np.asarray(new_m)[:, :n_new])
+        # embedding-range slices keep every device index int32; >2^31
+        # wedge spaces just take more slices
+        for lo, hi in wedge_slices(wedge_per_emb, EMB_WEDGE_LIMIT):
+            msl = members[:, lo:hi]
+            cum = np.cumsum(wedge_per_emb[lo:hi]).astype(np.int32)
+            total_wedges = int(cum[-1])
+            if total_wedges == 0:
+                continue
+            members_d = jnp.asarray(msl)
+            cum_d = jnp.asarray(cum)
+            for start in range(0, total_wedges, chunk):
+                if count_only:
+                    total += int(step(members_d, cum_d,
+                                      jnp.int32(start),
+                                      jnp.int32(total_wedges)))
+                else:
+                    new_m, n_new = step(members_d, cum_d,
+                                        jnp.int32(start),
+                                        jnp.int32(total_wedges))
+                    n_new = int(n_new)
+                    if n_new:
+                        outs.append(np.asarray(new_m)[:, :n_new])
         if not count_only:
             if not outs:
                 return 0

@@ -48,32 +48,41 @@ def edge_triangle_counts(g, chunk: int = 1 << 20) -> np.ndarray:
     rowptr, colidx = g.device_csr()
     deg = np.diff(g.rowptr)
     src_h = np.repeat(np.arange(m, dtype=np.int32), deg)
-    cum = np.cumsum(deg[src_h], dtype=np.int64)
-    total = int(cum[-1])
-    cum_d = jnp.asarray(cum)
-    src_d = jnp.asarray(src_h)
+    wpe = deg[src_h].astype(np.int64)
 
-    from gardenia_tpu.mining.kcl import _member
+    from gardenia_tpu.mining.kcl import (EMB_WEDGE_LIMIT, _member,
+                                         wedge_slices)
 
     @jax.jit
-    def step(start, tri):
+    def step(cum_d, src_d, e_base, start, total, tri):
+        # edge-range slice: indices int32 (x64 disabled); e_base maps
+        # local edge slots back to global CSR slots for the scatter
         from gardenia_tpu.ops import rowsel
-        j = start + jnp.arange(chunk, dtype=jnp.int64)
+        n_edges = src_d.shape[0]
+        j = start + jnp.arange(chunk, dtype=jnp.int32)
         e = jnp.searchsorted(cum_d, j, side="right").astype(jnp.int32)
-        e = jnp.minimum(e, nnz - 1)
+        e = jnp.minimum(e, n_edges - 1)
         base = jnp.where(e > 0, cum_d[jnp.maximum(e - 1, 0)], 0)
         k = (j - base).astype(jnp.int32)
         u = rowsel.take(src_d, e)
-        v = rowsel.take(colidx, e)
+        v = rowsel.take(colidx, e + e_base)
         w = rowsel.take(colidx, jnp.minimum(rowsel.take(rowptr, u) + k,
                                             nnz - 1))
         valid = (j < total) & (w != v)
         found = _member(rowptr, colidx, nnz, w, v)
-        return tri.at[e].add((valid & found).astype(jnp.int32))
+        return tri.at[e + e_base].add((valid & found).astype(jnp.int32))
 
     tri = jnp.zeros((nnz,), jnp.int32)
-    for start in range(0, total, chunk):
-        tri = step(jnp.int64(start), tri)
+    for lo, hi in wedge_slices(wpe, EMB_WEDGE_LIMIT):
+        cum = np.cumsum(wpe[lo:hi]).astype(np.int32)
+        total = int(cum[-1])
+        if total == 0:
+            continue
+        cum_d = jnp.asarray(cum)
+        src_d = jnp.asarray(src_h[lo:hi])
+        for start in range(0, total, chunk):
+            tri = step(cum_d, src_d, jnp.int32(lo), jnp.int32(start),
+                       jnp.int32(total), tri)
     return np.asarray(tri)
 
 

@@ -56,7 +56,10 @@ def count_pattern(g, spec: PatternSpec, *, chunk: int = 1 << 18) -> int:
         @jax.jit
         def step(members, cum, start, total):
             from gardenia_tpu.ops import rowsel
-            j = start + jnp.arange(chunk, dtype=jnp.int64)
+            # all indices int32 — the caller slices the wedge space
+            # under EMB_WEDGE_LIMIT (x64 is disabled; int64 annotations
+            # would silently truncate)
+            j = start + jnp.arange(chunk, dtype=jnp.int32)
             e = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
             e = jnp.minimum(e, members.shape[1] - 1)
             base = jnp.where(e > 0, cum[jnp.maximum(e - 1, 0)], 0)
@@ -96,31 +99,37 @@ def count_pattern(g, spec: PatternSpec, *, chunk: int = 1 << 18) -> int:
     n_levels = len(spec.levels)
     for li, level in enumerate(spec.levels):
         count_only = li == n_levels - 1
-        anchors = members[level.anchor]
-        cum = np.cumsum(deg_h[anchors], dtype=np.int64)
-        total = int(cum[-1]) if len(cum) else 0
-        if total == 0:
-            return 0
-        assert total < 2 ** 31, (
-            "pattern expansion space exceeds int32 indexing at level "
-            f"{li}; slice the embedding frontier (round-2 TODO)")
-        members_d = jnp.asarray(members)
-        cum_d = jnp.asarray(cum)
+        from gardenia_tpu.mining.kcl import EMB_WEDGE_LIMIT, wedge_slices
+        wpe = deg_h[members[level.anchor]].astype(np.int64)
+        if int(wpe.sum()) == 0:
+            return total_count
         step = g._dev(("pattern_step", spec.name, li,
                        members.shape[0], count_only, chunk),
                       lambda: make_step(level, members.shape[0],
                                         count_only))
         outs: List[np.ndarray] = []
-        for start in range(0, total, chunk):
-            if count_only:
-                total_count += int(step(members_d, cum_d,
-                                        jnp.int64(start), total))
-            else:
-                new_m, n_new = step(members_d, cum_d,
-                                    jnp.int64(start), total)
-                n_new = int(n_new)
-                if n_new:
-                    outs.append(np.asarray(new_m)[:, :n_new])
+        # embedding-range slices keep every device index int32; >2^31
+        # wedge spaces just take more slices
+        for lo, hi in wedge_slices(wpe, EMB_WEDGE_LIMIT):
+            msl = members[:, lo:hi]
+            cum = np.cumsum(wpe[lo:hi]).astype(np.int32)
+            total = int(cum[-1])
+            if total == 0:
+                continue
+            members_d = jnp.asarray(msl)
+            cum_d = jnp.asarray(cum)
+            for start in range(0, total, chunk):
+                if count_only:
+                    total_count += int(step(members_d, cum_d,
+                                            jnp.int32(start),
+                                            jnp.int32(total)))
+                else:
+                    new_m, n_new = step(members_d, cum_d,
+                                        jnp.int32(start),
+                                        jnp.int32(total))
+                    n_new = int(n_new)
+                    if n_new:
+                        outs.append(np.asarray(new_m)[:, :n_new])
         if not count_only:
             if not outs:
                 return 0

@@ -5,7 +5,12 @@ Reference: src/spmv/{spmv.h,omp_base.cc,warp.cu,vector.cu}.  The scalar /
 warp / vector row-mapping variants collapse into the slab layout (width
 bucketing replaces the per-row thread-count choice); `variant` selects the
 device implementation:
-  'ell'     — degree-bucketed slabs (default, fastest)
+  'ell'     — degree-bucketed slabs (default on CPU)
+  'hybrid'  — degree-relabeled hybrid block-sparse (ops/bsr.py): dense
+              128x128 blocks on the MXU + one-hot tiles; the production
+              TPU path (reference locality analog: segmenting.h,
+              partition.cu)
+  'auto'    — hybrid on TPU backends, ell elsewhere
   'segment' — COO scatter-add (reference 'push' analog)
   'push_pb' — propagation-blocking push: static dst-bin permutation +
               sorted segment-sum (reference prop_blocking.h / pr/pb.cc)
@@ -35,6 +40,47 @@ def spmv_solver(g, Ax=None, x=None, y=None, *, variant: str = "ell"):
     x = jnp.asarray(x, dtype=jnp.float32)
     y = jnp.zeros(g.m, jnp.float32) if y is None \
         else jnp.asarray(y, dtype=jnp.float32)
+
+    if variant == "auto":
+        from gardenia_tpu.ops import rowsel
+        variant = "hybrid" if rowsel.enabled() else "ell"
+
+    if variant == "hybrid":
+        # relabel for block locality; x/y live in original ids, so the
+        # runner permutes the operand in and the product back out
+        def build_hyb():
+            from functools import partial as _p
+
+            import jax.numpy as _jnp
+
+            from gardenia_tpu.core.relabel import relabeled
+            from gardenia_tpu.ops import rowsel
+            from gardenia_tpu.ops.bsr import build_hybrid, spmv_hybrid
+            rel = relabeled(g)
+            g2 = rel.graph
+            w2 = None
+            if Ax is not None:
+                # weights arrive in g's CSR edge order; rebuild in g2's
+                src, dst = build_mod.csr_to_coo(g.rowptr, g.colidx)
+                order = np.lexsort((rel.new_of_old[dst],
+                                    rel.new_of_old[src]))
+                w2 = np.asarray(Ax, np.float32)[order]
+            host = build_hybrid(g2.rowptr, g2.colidx, w2, num_cols=g2.n,
+                                dense_threshold=128 if w2 is not None
+                                else 64)
+            hyb = jax.tree_util.tree_map(jax.device_put, host)
+            new_of_old = _jnp.asarray(rel.new_of_old)
+            old_of_new = _jnp.asarray(rel.old_of_new)
+            fn = _p(spmv_hybrid, hyb, num_rows=g.m)
+
+            def run(x, init):
+                x2 = rowsel.take(x, old_of_new)
+                y2 = fn(x2)
+                return rowsel.take(y2, new_of_old) + init
+            return jax.jit(run)
+        from gardenia_tpu.core import build as build_mod
+        fn = g._dev(("spmv_hybrid_run", id(Ax)), build_hyb, retain=Ax)
+        return fn(x, y)
 
     if variant == "push_pb":
         # push computes y += A^T x over the stored CSR; callers wanting

@@ -32,6 +32,11 @@ LANES = 128
 # per-slice wedge budget for the bsearch variant (tests shrink this to
 # exercise multi-slice processing)
 WEDGE_SLICE_LIMIT = 2 ** 31
+# per-slice chunk-pair budget for the rotate variant: totals beyond this
+# are processed in host-side edge-range slices so device indices stay
+# int32 (the reference streams per-warp with 64-bit totals,
+# include/set_intersect.cuh; here slicing restores the headroom)
+PAIR_SLICE_LIMIT = 2 ** 31 - (1 << 22)
 
 
 def _chunk_table(dag):
@@ -52,22 +57,23 @@ def _chunk_table(dag):
     return table, cstart.astype(np.int64), n_chunks.astype(np.int64)
 
 
-def _pair_stream(dag, cstart, n_chunks):
-    """Host-precomputed chunk-pair index arrays (cu, cv) — the pair ->
-    (edge, sub-chunk) demultiplexing is pure address arithmetic, so it is
-    done ONCE here instead of a per-pair device searchsorted (which
-    measured ~170 ns/pair, dominating the kernel)."""
+def _pair_stream_range(dag, cstart, n_chunks, e_lo: int, e_hi: int):
+    """Host-precomputed chunk-pair index arrays (cu, cv) for the DAG
+    edge range [e_lo, e_hi) — the pair -> (edge, sub-chunk)
+    demultiplexing is pure address arithmetic, so it is done ONCE here
+    instead of a per-pair device searchsorted (which measured
+    ~170 ns/pair, dominating the kernel)."""
     m = dag.m
     deg = np.diff(dag.rowptr)
-    src = np.repeat(np.arange(m, dtype=np.int64), deg)
-    dst = np.asarray(dag.colidx, dtype=np.int64)
+    src = np.repeat(np.arange(m, dtype=np.int64), deg)[e_lo:e_hi]
+    dst = np.asarray(dag.colidx, dtype=np.int64)[e_lo:e_hi]
     ppe = n_chunks[src] * n_chunks[dst]
     cum = np.cumsum(ppe)
     total = int(cum[-1]) if len(cum) else 0
-    assert total < 2 ** 31, "chunk-pair space exceeds int32"
+    assert total < 2 ** 31, "pair-slice budget exceeded (internal)"
     base = np.repeat(cum - ppe, ppe)
     q = np.arange(total, dtype=np.int64) - base
-    e = np.repeat(np.arange(dag.nnz, dtype=np.int64), ppe)
+    e = np.repeat(np.arange(len(ppe), dtype=np.int64), ppe)
     nve = np.maximum(n_chunks[dst[e]], 1)
     cu = (cstart[src[e]] + q // nve).astype(np.int32)
     cv = (cstart[dst[e]] + q % nve).astype(np.int32)
@@ -80,25 +86,34 @@ def tc_rotate(g, *, chunk: int = 1 << 13, presorted_dag: bool = False
     if dag.nnz == 0:
         return 0
 
-    def prep():
+    def prep_table():
         table_h, cstart, n_chunks = _chunk_table(dag)
-        cu_h, cv_h, total_pairs = _pair_stream(dag, cstart, n_chunks)
-        n_steps = max(1, -(-total_pairs // chunk))
-        pad = n_steps * chunk - total_pairs
-        # padded pairs compare the all--1 sentinel row against row 0
         th = np.concatenate(
             [table_h, np.full((1, LANES), -1, np.int32)], axis=0)
-        sent = len(th) - 1
+        return jnp.asarray(th), cstart, n_chunks, len(th) - 1
+
+    table, cstart, n_chunks, sent = dag._dev(("tc_rotate_table",),
+                                             prep_table)
+
+    def pack(e_lo: int, e_hi: int):
+        """Pair stream for an edge slice, padded to whole chunks; padded
+        pairs compare the all--1 sentinel row against row 0 (no match).
+        The step dimension is snapped to a power of two so multi-slice
+        runs reuse one compiled executable (the real step count is
+        passed dynamically; padded steps are never visited)."""
+        cu_h, cv_h, total_pairs = _pair_stream_range(dag, cstart,
+                                                     n_chunks, e_lo, e_hi)
+        n_steps = max(1, -(-total_pairs // chunk))
+        n_alloc = T.next_pow2(n_steps)
+        pad = n_alloc * chunk - total_pairs
         cu = np.concatenate([cu_h, np.full(pad, sent, np.int32)])
         cv = np.concatenate([cv_h, np.zeros(pad, np.int32)])
-        return (jnp.asarray(th), jnp.asarray(cu.reshape(n_steps, chunk)),
-                jnp.asarray(cv.reshape(n_steps, chunk)), n_steps)
-
-    table, cu_d, cv_d, n_steps = dag._dev(("tc_rotate_data", chunk), prep)
+        return (jnp.asarray(cu.reshape(n_alloc, chunk)),
+                jnp.asarray(cv.reshape(n_alloc, chunk)), n_steps)
 
     def build():
         @jax.jit
-        def run():
+        def run(cu_d, cv_d, n_real):
             def body(c, partials):
                 A = table[cu_d[c]]                     # (chunk, 128)
                 B = table[cv_d[c]]
@@ -117,11 +132,40 @@ def tc_rotate(g, *, chunk: int = 1 << 13, presorted_dag: bool = False
                 return partials.at[c].set(jnp.sum(acc))
 
             return jax.lax.fori_loop(
-                0, n_steps, body, jnp.zeros((n_steps,), jnp.int32))
+                0, n_real, body,
+                jnp.zeros((cu_d.shape[0],), jnp.int32))
         return run
 
     run = dag._dev(("tc_rotate_run", chunk), build)
-    return int(np.asarray(run()).astype(np.int64).sum())
+
+    # slice the DAG edge range so each slice's chunk-pair count stays
+    # within int32 device indexing (>2^31 pair spaces just take more
+    # slices); the single-slice common case caches its device stream
+    deg = np.diff(dag.rowptr)
+    src_all = np.repeat(np.arange(dag.m, dtype=np.int64), deg)
+    ppe_all = n_chunks[src_all] * n_chunks[np.asarray(dag.colidx,
+                                                      np.int64)]
+    cum_all = np.cumsum(ppe_all)
+    grand_total = int(cum_all[-1]) if len(cum_all) else 0
+    if grand_total == 0:
+        return 0
+    if grand_total <= PAIR_SLICE_LIMIT:
+        cu_d, cv_d, n_steps = dag._dev(("tc_rotate_data", chunk),
+                                       lambda: pack(0, dag.nnz))
+        out = run(cu_d, cv_d, jnp.int32(n_steps))
+        return int(np.asarray(out).astype(np.int64).sum())
+    total = 0
+    e_lo = 0
+    while e_lo < dag.nnz:
+        base_p = cum_all[e_lo - 1] if e_lo else 0
+        e_hi = int(np.searchsorted(cum_all, base_p + PAIR_SLICE_LIMIT,
+                                   side="right"))
+        e_hi = max(e_hi, e_lo + 1)
+        cu_d, cv_d, n_steps = pack(e_lo, e_hi)
+        out = run(cu_d, cv_d, jnp.int32(n_steps))
+        total += int(np.asarray(out).astype(np.int64).sum())
+        e_lo = e_hi
+    return total
 
 
 def tc_bsearch(g, *, chunk: int = 1 << 20, presorted_dag: bool = False

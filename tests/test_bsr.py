@@ -1,0 +1,106 @@
+"""Hybrid block-sparse SpMV (ops/bsr.py) + degree relabeling
+(core/relabel.py) — the production TPU locality path.
+
+Oracle: direct NumPy scatter-add over the CSR, exactly as
+tests/test_pr_spmv.py checks the ELL path."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import random_graph
+
+from gardenia_tpu.core.relabel import degree_relabel, relabeled
+from gardenia_tpu.ops.bsr import build_hybrid, spmv_hybrid
+
+
+def _oracle_spmv(g, x, w=None):
+    exp = np.zeros(g.m, np.float32)
+    src = np.repeat(np.arange(g.m), np.diff(g.rowptr))
+    ww = np.ones(g.nnz, np.float32) if w is None else np.asarray(
+        w, np.float32)
+    np.add.at(exp, src, ww * x[g.colidx])
+    return exp
+
+
+@pytest.mark.parametrize("m,deg,weighted,thr", [
+    (97, 6, False, 4),      # dense blocks only
+    (300, 10, True, 8),     # weighted f32 blocks
+    (513, 3, False, 2),     # mixed blocks + tiles, m % 128 != 0
+    (64, 40, True, 64),     # single 128x128 block smaller than a lane row
+    (5, 1, False, 64),      # tiles only
+    (130, 0, False, 4),     # empty matrix
+])
+def test_spmv_hybrid_matches_oracle(m, deg, weighted, thr):
+    rng = np.random.default_rng(m)
+    g = random_graph(m=m, avg_deg=deg, seed=m, weighted=weighted,
+                     symmetric=True)
+    w = None if g.weights is None else np.asarray(g.weights, np.float32)
+    hyb = build_hybrid(g.rowptr, g.colidx, w, num_cols=g.n,
+                       dense_threshold=thr)
+    x = rng.random(g.n).astype(np.float32)
+    y = np.asarray(spmv_hybrid(hyb, x, num_rows=g.m))
+    exp = _oracle_spmv(g, x, w)
+    scale = max(1e-9, float(np.abs(exp).max()))
+    # bf16-split operand: exact to ~2^-16 relative
+    assert np.abs(y - exp).max() / scale < 2e-4
+
+
+def test_spmv_hybrid_init_accumulates():
+    g = random_graph(m=50, avg_deg=4, seed=2, symmetric=True)
+    hyb = build_hybrid(g.rowptr, g.colidx, None, num_cols=g.n,
+                       dense_threshold=4)
+    x = np.ones(g.n, np.float32)
+    y0 = np.full(g.m, 7.0, np.float32)
+    y = np.asarray(spmv_hybrid(hyb, x, num_rows=g.m, init=y0))
+    exp = _oracle_spmv(g, x) + 7.0
+    assert np.allclose(y, exp, atol=1e-2)
+
+
+def test_degree_relabel_preserves_graph():
+    g = random_graph(m=120, avg_deg=5, seed=4, weighted=True,
+                     symmetric=True)
+    rel = degree_relabel(g)
+    g2, new_of_old, old_of_new = rel
+    assert g2.nnz == g.nnz
+    assert (new_of_old[old_of_new] == np.arange(g.m)).all()
+    # degree ordering: non-increasing
+    d2 = np.diff(g2.rowptr)
+    assert (d2[:-1] >= d2[1:]).all()
+    # edge multiset with weights preserved
+    src1 = np.repeat(np.arange(g.m), np.diff(g.rowptr))
+    src2 = np.repeat(np.arange(g2.m), d2)
+    e1 = sorted(zip(src1.tolist(), g.colidx.tolist(),
+                    np.asarray(g.weights).tolist()))
+    e2 = sorted(zip(old_of_new[src2].tolist(),
+                    old_of_new[g2.colidx].tolist(),
+                    np.asarray(g2.weights).tolist()))
+    assert e1 == e2
+    # cached accessor returns the same object
+    assert relabeled(g).graph is relabeled(g).graph
+
+
+def test_pr_hybrid_matches_ell_and_delta_converges():
+    from gardenia_tpu.solvers.pr import pr_solver
+    g = random_graph(m=400, avg_deg=8, seed=9, symmetric=True)
+    r_ell = pr_solver(g, layout="ell")
+    r_hyb = pr_solver(g, layout="hybrid")
+    assert int(r_ell.iterations) == int(r_hyb.iterations)
+    assert np.abs(np.asarray(r_ell.scores)
+                  - np.asarray(r_hyb.scores)).max() < 1e-6
+    for layout in ("ell", "hybrid"):
+        r_d = pr_solver(g, variant="delta", layout=layout)
+        assert np.abs(np.asarray(r_ell.scores)
+                      - np.asarray(r_d.scores)).max() < 1e-5
+        assert int(r_d.iterations) <= int(r_ell.iterations) + 2
+
+
+def test_spmv_solver_hybrid_variant():
+    from gardenia_tpu.solvers.spmv import spmv_solver
+    g = random_graph(m=200, avg_deg=7, seed=11, weighted=True,
+                     symmetric=True)
+    w = np.asarray(g.weights, np.float32)
+    x = np.random.default_rng(1).random(g.n).astype(np.float32)
+    y_h = np.asarray(spmv_solver(g, w, x, variant="hybrid"))
+    exp = _oracle_spmv(g, x, w)
+    scale = max(1e-9, float(np.abs(exp).max()))
+    assert np.abs(y_h - exp).max() / scale < 2e-4

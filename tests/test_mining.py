@@ -64,3 +64,33 @@ def test_sgl_diamond_formula_vs_enum():
     g = random_graph(m=60, avg_deg=6, seed=6, symmetric=True)
     assert sgl_solver(g, "diamond", use_formula=True) == \
         sgl_solver(g, "diamond", use_formula=False)
+
+
+def test_kcl_multi_slice(monkeypatch):
+    """Embedding frontiers whose wedge space exceeds the per-slice
+    budget are processed in embedding-range slices (int32-safe)."""
+    import gardenia_tpu.mining.kcl as kclmod
+    g = random_graph(m=60, avg_deg=12, seed=7, symmetric=True)
+    expect = kclmod.kcl_verifier(g, 4)
+    monkeypatch.setattr(kclmod, "EMB_WEDGE_LIMIT", 512)
+    assert kclmod.kcl_solver(g, 4, chunk=256) == expect
+
+
+def test_pattern_multi_slice(monkeypatch):
+    import gardenia_tpu.mining.kcl as kclmod
+    from gardenia_tpu.mining.sgl import sgl_verifier
+    from gardenia_tpu.mining.pattern import DIAMOND, count_pattern
+    g = random_graph(m=40, avg_deg=8, seed=3, symmetric=True)
+    expect = sgl_verifier(g, "diamond")
+    monkeypatch.setattr(kclmod, "EMB_WEDGE_LIMIT", 512)
+    assert count_pattern(g, DIAMOND, chunk=256) == expect
+
+
+def test_motif_edge_tri_multi_slice(monkeypatch):
+    import gardenia_tpu.mining.kcl as kclmod
+    from gardenia_tpu.mining.motif import edge_triangle_counts
+    g = random_graph(m=50, avg_deg=10, seed=5, symmetric=True)
+    expect = edge_triangle_counts(g)
+    monkeypatch.setattr(kclmod, "EMB_WEDGE_LIMIT", 256)
+    got = edge_triangle_counts(g, chunk=128)
+    np.testing.assert_array_equal(got, expect)

@@ -91,3 +91,13 @@ def test_tc_bsearch_multi_slice(monkeypatch):
     expect = oracles.tc_serial(g.oriented())
     monkeypatch.setattr(tcmod, "WEDGE_SLICE_LIMIT", 4096)
     assert tcmod.tc_bsearch(g, chunk=512) == expect
+
+
+def test_tc_rotate_multi_slice(monkeypatch):
+    """Chunk-pair spaces beyond the per-slice budget run as multiple
+    edge-range slices through one compiled kernel (int32-safe)."""
+    import gardenia_tpu.solvers.tc as tcmod
+    g = random_graph(m=110, avg_deg=9, seed=4, symmetric=True)
+    expect = oracles.tc_serial(g.oriented())
+    monkeypatch.setattr(tcmod, "PAIR_SLICE_LIMIT", 2048)
+    assert tcmod.tc_rotate(g, chunk=256) == expect
