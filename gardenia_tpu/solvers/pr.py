@@ -158,14 +158,18 @@ def pr_solver(g, *, epsilon: float = EPSILON, max_iter: int = MAX_ITER,
             hyb = g2.hybrid(reverse=True)
             out_deg = g2.device_degrees()
             new_of_old = jnp.asarray(rel.new_of_old)
-            inner = loop(partial(spmv_hybrid, hyb, num_rows=m),
-                         out_deg, m, epsilon, max_iter)
 
-            def run(scores0):
+            # the (GB-scale) matrix rides as jit ARGUMENTS — baking it
+            # as captured constants ships it inside the executable
+            # through the remote-compile tunnel (measured: wedges)
+            def run(scores0, hyb_, new_of_old_, out_deg_):
+                inner = loop(partial(spmv_hybrid, hyb_, num_rows=m),
+                             out_deg_, m, epsilon, max_iter)
                 res = inner(scores0)
-                return PRResult(rowsel.take(res.scores, new_of_old),
+                return PRResult(rowsel.take(res.scores, new_of_old_),
                                 res.iterations, res.errors)
-            return jax.jit(run)
+            jitted = jax.jit(run)
+            return lambda s0: jitted(s0, hyb, new_of_old, out_deg)
         out_deg = g.device_degrees()
         ell = g.ell(reverse=True)
         spmv_fn = partial(spmv_ell, ell, semiring=F32_PLUS_TIMES,

@@ -49,8 +49,6 @@ def spmv_solver(g, Ax=None, x=None, y=None, *, variant: str = "ell"):
         # relabel for block locality; x/y live in original ids, so the
         # runner permutes the operand in and the product back out
         def build_hyb():
-            from functools import partial as _p
-
             import jax.numpy as _jnp
 
             from gardenia_tpu.core.relabel import relabeled
@@ -71,13 +69,15 @@ def spmv_solver(g, Ax=None, x=None, y=None, *, variant: str = "ell"):
             hyb = jax.tree_util.tree_map(jax.device_put, host)
             new_of_old = _jnp.asarray(rel.new_of_old)
             old_of_new = _jnp.asarray(rel.old_of_new)
-            fn = _p(spmv_hybrid, hyb, num_rows=g.m)
 
-            def run(x, init):
-                x2 = rowsel.take(x, old_of_new)
-                y2 = fn(x2)
-                return rowsel.take(y2, new_of_old) + init
-            return jax.jit(run)
+            # matrix as jit arguments, not captured constants (see pr.py)
+            def run(x, init, hyb_, new_, old_):
+                x2 = rowsel.take(x, old_)
+                y2 = spmv_hybrid(hyb_, x2, num_rows=g.m)
+                return rowsel.take(y2, new_) + init
+            jitted = jax.jit(run)
+            return lambda x, init: jitted(x, init, hyb, new_of_old,
+                                          old_of_new)
         from gardenia_tpu.core import build as build_mod
         fn = g._dev(("spmv_hybrid_run", id(Ax)), build_hyb, retain=Ax)
         return fn(x, y)

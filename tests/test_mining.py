@@ -54,10 +54,42 @@ def test_sgl_random(pattern):
 @pytest.mark.parametrize("k,minsup", [(1, 2), (2, 3), (3, 2), (3, 4)])
 def test_fsm_random(k, minsup):
     from gardenia_tpu.mining.fsm import fsm_solver, fsm_verifier
-    g = random_graph(m=45, avg_deg=4, seed=7, symmetric=True)
+    g = random_graph(m=30, avg_deg=4, seed=7, symmetric=True)
     labels = np.random.default_rng(7).integers(0, 3, g.m)
     assert fsm_solver(g, k, minsup, labels) == \
         fsm_verifier(g, k, minsup, labels)
+
+
+@pytest.mark.parametrize("k,minsup", [(4, 2), (4, 3), (5, 3)])
+def test_fsm_k4plus(k, minsup):
+    """gSpan pattern growth beyond 3 edges (round-1 gap: the old
+    enumerator was capped at k<=3)."""
+    from gardenia_tpu.mining.fsm import fsm_solver, fsm_verifier
+    g = random_graph(m=16, avg_deg=3, seed=11, symmetric=True)
+    labels = np.random.default_rng(3).integers(0, 2, g.m)
+    assert fsm_solver(g, k, minsup, labels) == \
+        fsm_verifier(g, k, minsup, labels)
+
+
+def test_dfscode_canonical_invariance():
+    """Canonical DFS codes are relabeling-invariant and separate
+    non-isomorphic patterns."""
+    import itertools
+    from gardenia_tpu.mining.dfscode import (automorphisms, canonical,
+                                             make_pattern)
+    tri = make_pattern(3, ((0, 1), (1, 2), (0, 2)), (1, 1, 1))
+    assert len(automorphisms(tri)) == 6
+    # all relabelings of a labeled path share one code
+    codes = set()
+    for p in itertools.permutations(range(3)):
+        edges = [(p[0], p[1]), (p[1], p[2])]
+        labs = [0] * 3
+        labs[p[0]], labs[p[1]], labs[p[2]] = 2, 1, 2
+        codes.add(canonical(make_pattern(3, edges, labs))[0])
+    assert len(codes) == 1
+    star = make_pattern(4, ((0, 1), (0, 2), (0, 3)), (1, 2, 2, 2))
+    path4 = make_pattern(4, ((0, 1), (1, 2), (2, 3)), (2, 1, 2, 2))
+    assert canonical(star)[0] != canonical(path4)[0]
 
 
 def test_sgl_diamond_formula_vs_enum():
