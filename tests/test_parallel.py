@@ -104,3 +104,43 @@ def test_sgd_dist_matches_single_chip(mesh):
     np.testing.assert_allclose(np.asarray(d.user_lv),
                                np.asarray(s.user_lv), rtol=2e-5,
                                atol=1e-7)
+
+
+# --- 2D edge partition (BASELINE config 5: TC/VC/SCC 2D multichip) ---------
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    from gardenia_tpu.parallel.two_d import make_mesh2d
+    return make_mesh2d(8)
+
+
+def test_mesh2d_shape(mesh2d):
+    assert mesh2d.devices.shape == (2, 4)
+    assert mesh2d.axis_names == ("r", "c")
+
+
+def test_tc_dist2d_matches_oracle(mesh2d):
+    from gardenia_tpu.parallel.two_d import tc_solver_dist2d
+    g = random_graph(m=150, avg_deg=9, seed=4, symmetric=True)
+    expect = oracles.tc_serial(g.oriented())
+    assert tc_solver_dist2d(g, mesh=mesh2d) == expect
+
+
+def test_scc_dist2d_matches_single(mesh2d):
+    from gardenia_tpu.parallel.two_d import scc_solver_dist2d
+    from gardenia_tpu.solvers.scc import scc_solver
+    g = random_graph(m=130, avg_deg=3, seed=6)   # directed
+    d = np.asarray(scc_solver_dist2d(g, mesh=mesh2d).scc_root)
+    s = np.asarray(scc_solver(g).scc_root)
+    # same partition into components (labels may differ)
+    _, ia = np.unique(d, return_inverse=True)
+    _, ib = np.unique(s, return_inverse=True)
+    assert len(np.unique(ia * (ib.max() + 1) + ib)) == \
+        len(np.unique(ib)) == len(np.unique(ia))
+
+
+def test_vc_dist2d_valid_coloring(mesh2d):
+    from gardenia_tpu.parallel.two_d import vc_solver_dist2d
+    g = random_graph(m=140, avg_deg=7, seed=2, symmetric=True)
+    res = vc_solver_dist2d(g, mesh=mesh2d)
+    assert oracles.vc_check(g, np.asarray(res.colors))
