@@ -176,7 +176,7 @@ class Graph:
         return self._dev(("ell", reverse, weighted, width_cap), mk)
 
     def hybrid(self, *, reverse: bool = False, weighted: bool = False,
-               dense_threshold: int = 64):
+               dense_threshold: int = 16):
         """Device hybrid block-sparse matrix (ops/bsr.py) — the
         production SpMV layout.  Build block locality first with
         core/relabel.py on scatter-labeled graphs."""

@@ -12,14 +12,20 @@ the cheapest of two layouts:
     and ride the MXU as a batched matmul.  Operand traffic: 32 KB per
     block regardless of edge count, streamed sequentially at full HBM
     bandwidth.
-  * one-hot tile — sparser pairs become (W=8)-slot tiles; the operand
-    128-lane row is gathered ONCE per tile (vs once per edge on the
-    rowsel path) and slots select their lane with a fused one-hot
-    compare on the VPU.  Traffic: 512 B + ~70 B per tile.
+  * ELL remainder — sparser pairs fall back to the degree-bucketed slab
+    layout (ops/ell.py) with rowsel gathers (512 B/edge, ~2.2 ns/row
+    measured).  A one-hot tile layout (x row gathered once per tile,
+    lanes selected by fused compares) was prototyped and measured 5x
+    WORSE on v5e: XLA materializes the (T, W, 128) broadcast compare
+    instead of fusing it into the reduction, so the "shared" gather
+    costs 15 GB of intermediate traffic.  Revisit only as a hand-fused
+    Pallas kernel.
 
-Both partials land in a (m/128, 128) output via sorted row-segment sums
-(vectorized on TPU).  On RMAT-20 this cuts per-iteration traffic from
-16 GB (rowsel: 512 B/edge) to ~4.4 GB.
+Dense partials land in a (m/128, 128) output via a sorted row-segment
+sum (vectorized on TPU).  On RMAT-20 at threshold 16 the dense part
+covers 76% of edges at 7.7 GB streamed near peak HBM bandwidth
+(~600 GB/s measured through the einsum) and the remainder 24% pays the
+gather path — ~3.5x less wall-clock per iteration than all-rowsel.
 
 Block locality requires hub clustering in the vertex ids — see
 gardenia_tpu/core/relabel.py (degree-sorted relabeling), without which
@@ -45,17 +51,12 @@ LANE_BITS = 7
 
 
 class HybridMatrix(NamedTuple):
-    """Device (or host) arrays of the hybrid layout.  B dense blocks,
-    T one-hot tiles of W slots.  Either part may be empty (B==0/T==0
-    encoded as zero-length leading dims)."""
+    """Device (or host) arrays of the hybrid layout.  B dense blocks +
+    an ELL-slab remainder (possibly empty: B==0 / rem.buckets==())."""
     blk: jax.Array        # bf16|f32 [B,128,128]; blk[b,i,j] = A[db*128+i, sb*128+j]
     blk_src: jax.Array    # i32[B] source block column
     blk_dst: jax.Array    # i32[B] destination block row (non-decreasing)
-    t_src: jax.Array      # i32[T] tile source block
-    t_dst: jax.Array      # i32[T] tile destination block (non-decreasing)
-    t_sres: jax.Array     # i32[T,W] source lane residue (0 on padding)
-    t_dres: jax.Array     # i32[T,W] destination lane residue
-    t_vals: jax.Array     # f32[T,W] edge value (0 on padding)
+    rem: object           # ops.ell.EllMatrix over the remainder edges
 
 
 def build_hybrid(rowptr: np.ndarray,
@@ -63,13 +64,15 @@ def build_hybrid(rowptr: np.ndarray,
                  weights: Optional[np.ndarray] = None,
                  *,
                  num_cols: int,
-                 dense_threshold: int = 64,
-                 tile_w: int = 8) -> HybridMatrix:
+                 dense_threshold: int = 16) -> HybridMatrix:
     """Host-side grouping of a CSR matrix into the hybrid layout.
 
     weights None -> unweighted (A entries 0/1, dense blocks bfloat16).
     Duplicate edges accumulate additively in both layouts.
     """
+    from gardenia_tpu.core import build as _build
+    from gardenia_tpu.ops.ell import build_ell
+
     num_rows = len(rowptr) - 1
     nnz = len(colidx)
     rowptr = np.asarray(rowptr, np.int64)
@@ -83,11 +86,9 @@ def build_hybrid(rowptr: np.ndarray,
     key = db * sb_span + sb
     order = np.argsort(key, kind="stable")
     key_s = key[order]
-    uniq, grp_start, cnt = np.unique(key_s, return_index=True,
-                                     return_counts=True)
+    uniq, cnt = np.unique(key_s, return_counts=True)
     dense_sel = cnt >= dense_threshold
     blk_dtype = np.float32 if weights is not None else np.dtype("bfloat16")
-    # build via ml_dtypes if available; fall back to f32 blocks
     try:
         import ml_dtypes  # noqa: F401
     except Exception:                                # pragma: no cover
@@ -111,43 +112,15 @@ def build_hybrid(rowptr: np.ndarray,
         blk_src_h = np.zeros(0, np.int32)
         blk_h = np.zeros((0, LANES, LANES), blk_dtype)
 
-    # ---- one-hot tiles for the remainder ---------------------------------
-    rem = ~edge_dense
-    eo = order[rem]
-    nrem = len(eo)
-    if nrem:
-        rgid = gid[rem]
-        # position of each edge within its group
-        rstart = np.full(len(uniq), nnz, np.int64)
-        np.minimum.at(rstart, rgid, np.arange(nnz)[rem])
-        pos = np.arange(nnz)[rem] - rstart[rgid]
-        tile_in_grp = pos // tile_w
-        slot = pos % tile_w
-        tiles_per_grp = np.zeros(len(uniq), np.int64)
-        np.maximum.at(tiles_per_grp, rgid, tile_in_grp + 1)
-        tile_base = np.concatenate([[0], np.cumsum(tiles_per_grp)[:-1]])
-        tid = (tile_base[rgid] + tile_in_grp).astype(np.int64)
-        nT = int(tiles_per_grp.sum())
-        t_sres_h = np.zeros((nT, tile_w), np.int32)
-        t_dres_h = np.zeros((nT, tile_w), np.int32)
-        t_vals_h = np.zeros((nT, tile_w), np.float32)
-        t_sres_h[tid, slot] = sr[eo]
-        t_dres_h[tid, slot] = dr[eo]
-        t_vals_h[tid, slot] = w[eo]
-        t_src_h = np.zeros(nT, np.int32)
-        t_dst_h = np.zeros(nT, np.int32)
-        t_src_h[tid] = (key_s[rem] % sb_span).astype(np.int32)
-        t_dst_h[tid] = (key_s[rem] // sb_span).astype(np.int32)
-    else:
-        nT = 0
-        t_sres_h = np.zeros((0, tile_w), np.int32)
-        t_dres_h = np.zeros((0, tile_w), np.int32)
-        t_vals_h = np.zeros((0, tile_w), np.float32)
-        t_src_h = np.zeros(0, np.int32)
-        t_dst_h = np.zeros(0, np.int32)
-
-    return HybridMatrix(blk_h, blk_src_h, blk_dst_h, t_src_h, t_dst_h,
-                        t_sres_h, t_dres_h, t_vals_h)
+    # ---- ELL remainder ----------------------------------------------------
+    eo = order[~edge_dense]
+    rs, rd, rw = src[eo], dst[eo], w[eo]
+    ro = np.lexsort((rs, rd))
+    rem_rp, rem_ci, rem_w = _build.coo_to_csr(
+        num_rows, rd[ro].astype(np.int32), rs[ro].astype(np.int32),
+        rw[ro] if weights is not None else None, sorted_by_src=True)
+    rem = build_ell(rem_rp, rem_ci, rem_w, num_cols=num_cols)
+    return HybridMatrix(blk_h, blk_src_h, blk_dst_h, rem)
 
 
 def _pad_operand(x: jax.Array, num_cols: int) -> jax.Array:
@@ -188,19 +161,10 @@ def spmv_hybrid(hyb: HybridMatrix, x: jax.Array, *, num_rows: int,
                                         num_segments=mb,
                                         indices_are_sorted=True)
 
-    nT = hyb.t_src.shape[0]
-    if nT:
-        lane = jnp.arange(LANES, dtype=jnp.int32)
-        xr = x2d[hyb.t_src]                            # (T,128) row gather
-        # ev[t,w] = x[tile t's src row][sres[t,w]]  (fused one-hot select)
-        ev = jnp.sum(jnp.where(hyb.t_sres[:, :, None] == lane,
-                               xr[:, None, :], 0.0), axis=2)     # (T,W)
-        contrib = ev * hyb.t_vals                      # 0 on padding
-        upd = jnp.sum(jnp.where(hyb.t_dres[:, :, None] == lane,
-                                contrib[:, :, None], 0.0), axis=1)  # (T,128)
-        y2d = y2d + jax.ops.segment_sum(upd, hyb.t_dst,
-                                        num_segments=mb,
-                                        indices_are_sorted=True)
-
     y = y2d.reshape(-1)[:num_rows]
+    if hyb.rem.buckets:
+        from gardenia_tpu.ops.semiring import F32_PLUS_TIMES
+        from gardenia_tpu.ops.spmv import spmv_ell
+        y = spmv_ell(hyb.rem, x, semiring=F32_PLUS_TIMES,
+                     num_rows=num_rows, init=y)
     return y if init is None else y + init.astype(jnp.float32)

@@ -7,7 +7,7 @@ bucketing replaces the per-row thread-count choice); `variant` selects the
 device implementation:
   'ell'     — degree-bucketed slabs (default on CPU)
   'hybrid'  — degree-relabeled hybrid block-sparse (ops/bsr.py): dense
-              128x128 blocks on the MXU + one-hot tiles; the production
+              128x128 blocks on the MXU + ELL remainder; the production
               TPU path (reference locality analog: segmenting.h,
               partition.cu)
   'auto'    — hybrid on TPU backends, ell elsewhere
@@ -64,8 +64,8 @@ def spmv_solver(g, Ax=None, x=None, y=None, *, variant: str = "ell"):
                                     rel.new_of_old[src]))
                 w2 = np.asarray(Ax, np.float32)[order]
             host = build_hybrid(g2.rowptr, g2.colidx, w2, num_cols=g2.n,
-                                dense_threshold=128 if w2 is not None
-                                else 64)
+                                dense_threshold=64 if w2 is not None
+                                else 16)
             hyb = jax.tree_util.tree_map(jax.device_put, host)
             new_of_old = _jnp.asarray(rel.new_of_old)
             old_of_new = _jnp.asarray(rel.old_of_new)
