@@ -56,11 +56,18 @@ def expand_frontier_edges(rowptr: jax.Array,
     cum_ends = jnp.cumsum(lens)
     total = cum_ends[-1] if lens.shape[0] else jnp.int32(0)
     offsets = cum_ends - lens
-    j = jnp.arange(capacity, dtype=jnp.int32)
-    # owner f of edge slot j: first frontier index with cum_ends[f] > j
-    f = jnp.searchsorted(cum_ends, j, side="right").astype(jnp.int32)
-    f = jnp.minimum(f, frontier_ids.shape[0] - 1)
-    e = rowsel.take(starts, f) + (j - rowsel.take(offsets, f))
-    valid = j < total
+    # owner f of edge slot j = the load-balanced search.  searchsorted
+    # runs on XLA's sequential-scan path (measured ~unusable at
+    # capacity ~ E/alpha); instead scatter each row's owner index at its
+    # start offset and take a running max — both vectorized.  Rows of
+    # length 0 share an offset with their successor; the max keeps the
+    # largest index, which is the first non-empty owner of that slot.
+    p = jnp.arange(frontier_ids.shape[0], dtype=jnp.int32)
+    marks = jnp.zeros((capacity,), jnp.int32).at[offsets].max(
+        p, mode="drop")
+    f = jax.lax.cummax(marks)
+    e = rowsel.take(starts, f) + \
+        (jnp.arange(capacity, dtype=jnp.int32) - rowsel.take(offsets, f))
+    valid = jnp.arange(capacity, dtype=jnp.int32) < total
     e = jnp.clip(e, 0, max(nnz - 1, 0))
     return rowsel.take(frontier_ids, f), rowsel.take(colidx, e), valid, e

@@ -45,22 +45,49 @@ class BFSResult(NamedTuple):
     iterations: jax.Array  # i32
 
 
-def _bfs_pull_loop(in_ell, m: int):
-    def run(source):
+def _resolve_layout(layout: str) -> str:
+    if layout != "auto":
+        return layout
+    from gardenia_tpu.ops import rowsel
+    return "hybrid" if rowsel.enabled() else "ell"
+
+
+def _hybrid_ctx(g):
+    """(relabeled graph, device hybrid reverse matrix, new_of_old) —
+    the production sweep context shared by pull/do_fused on TPU."""
+    from gardenia_tpu.core.relabel import relabeled
+    rel = relabeled(g)
+    return rel.graph, rel.graph.hybrid(reverse=True), \
+        jnp.asarray(rel.new_of_old)
+
+
+def _count_sweep(m: int, in_ell=None):
+    """frontier mask -> in-neighbour counts, as a fn(hyb, mask).
+    hyb None selects the ELL path (captured in_ell)."""
+    def sweep(hyb, mask):
+        if hyb is None:
+            return spmv_ell(in_ell, mask.astype(jnp.int32),
+                            semiring=I32_PLUS_TIMES, num_rows=m)
+        from gardenia_tpu.ops.bsr import spmv_hybrid
+        return spmv_hybrid(hyb, mask.astype(jnp.float32), num_rows=m)
+    return sweep
+
+
+def _bfs_pull_loop(sweep, m: int):
+    def run(source, hyb):
         dist0 = jnp.full((m,), INF, jnp.int32).at[source].set(0)
-        frontier0 = jnp.zeros((m,), jnp.int32).at[source].set(1)
+        frontier0 = jnp.zeros((m,), bool).at[source].set(True)
 
         def cond(state):
             _, frontier, _ = state
-            return jnp.sum(frontier) > 0
+            return jnp.any(frontier)
 
         def body(state):
             dist, frontier, depth = state
-            cnt = spmv_ell(in_ell, frontier, semiring=I32_PLUS_TIMES,
-                           num_rows=m)
+            cnt = sweep(hyb, frontier)
             newly = jnp.logical_and(cnt > 0, dist == INF)
             dist = jnp.where(newly, depth + 1, dist)
-            return dist, newly.astype(jnp.int32), depth + 1
+            return dist, newly, depth + 1
 
         dist, _, depth = jax.lax.while_loop(
             cond, body, (dist0, frontier0, jnp.int32(0)))
@@ -68,9 +95,28 @@ def _bfs_pull_loop(in_ell, m: int):
     return run
 
 
-def bfs_pull(g, source: int) -> BFSResult:
-    run = g._dev(("bfs_pull_run",),
-                 lambda: jax.jit(_bfs_pull_loop(g.ell(reverse=True), g.m)))
+def bfs_pull(g, source: int, *, layout: str = "auto") -> BFSResult:
+    layout = _resolve_layout(layout)
+
+    def build():
+        if layout == "hybrid":
+            from gardenia_tpu.ops import rowsel
+            g2, hyb, new_of_old = _hybrid_ctx(g)
+            inner = _bfs_pull_loop(_count_sweep(g.m), g.m)
+
+            def run(source, hyb_, new_of_old_):
+                res = inner(rowsel.take(new_of_old_, source[None])[0],
+                            hyb_)
+                return BFSResult(rowsel.take(res.dist, new_of_old_),
+                                 res.iterations)
+            jitted = jax.jit(run)
+            return lambda s: jitted(s, hyb, new_of_old)
+        inner = _bfs_pull_loop(
+            _count_sweep(g.m, g.ell(reverse=True)), g.m)
+        jitted = jax.jit(lambda s: inner(s, None))
+        return jitted
+
+    run = g._dev(("bfs_pull_run", layout), build)
     return run(jnp.int32(source))
 
 
@@ -160,7 +206,7 @@ def bfs_do(g, source: int) -> BFSResult:
     return BFSResult(dist, jnp.int32(iters))
 
 
-def bfs_do_fused(g, source: int) -> BFSResult:
+def bfs_do_fused(g, source: int, *, layout: str = "auto") -> BFSResult:
     """Direction-optimizing BFS fused into ONE lax.while_loop: the
     top-down branch runs with a STATIC edge capacity of E/alpha — valid
     because the Beamer heuristic switches to bottom-up exactly when the
@@ -169,26 +215,39 @@ def bfs_do_fused(g, source: int) -> BFSResult:
     round-trips (the tunnel pays ~23 ms per readback, so the host-driven
     'do' variant loses badly on shallow graphs).
 
-    Measured note (v5e, RMAT-16): the dense 'pull' still wins (69 vs
-    135 ms) because the in-loop compaction's searchsorted over the
-    m-sized prefix runs on XLA's scalar gather path; this variant is the
-    right shape once a vectorized device search lands (CLAUDE.md TODO)."""
-    m, nnz = g.m, g.nnz
-    rowptr, colidx = g.device_csr()
-    in_ell = g.ell(reverse=True)
-    deg = g.device_degrees()
-    cap_e = T.next_pow2(max(nnz // ALPHA, 256))
+    Round-2 rework: the top-down expansion's owner search is now a
+    vectorized scatter + running max (ops/frontier.py) instead of
+    XLA's sequential searchsorted; compaction skips degree-0 vertices
+    so the id list is capped by the same E/alpha budget; the bottom-up
+    sweep rides the hybrid block-sparse layout on TPU."""
+    layout = _resolve_layout(layout)
 
     def build():
-        @jax.jit
-        def run(source):
+        if layout == "hybrid":
+            gg, hyb, new_of_old = _hybrid_ctx(g)
+        else:
+            gg, hyb, new_of_old = g, None, None
+        m, nnz = gg.m, gg.nnz
+        rowptr, colidx = gg.device_csr()
+        deg = gg.device_degrees()
+        sweep = _count_sweep(m, None if layout == "hybrid"
+                             else gg.ell(reverse=True))
+        cap_e = T.next_pow2(max(nnz // ALPHA, 256))
+        cap_ids = min(T.next_pow2(max(m, 2)), cap_e)
+
+        def run(source, hyb_, new_of_old_):
+            from gardenia_tpu.ops import rowsel
+            if new_of_old_ is not None:
+                source = rowsel.take(new_of_old_, source[None])[0]
             dist0 = jnp.full((m,), INF, jnp.int32).at[source].set(0)
             mask0 = jnp.zeros((m,), bool).at[source].set(True)
 
             def td(args):
                 dist, mask, depth = args
-                from gardenia_tpu.ops import rowsel
-                ids = compact_mask(mask, m, m)
+                # degree-0 frontier vertices contribute no edges; with
+                # them excluded the frontier size is bounded by its
+                # out-edge count, i.e. by the E/alpha branch budget
+                ids = compact_mask(mask & (deg > 0), cap_ids, m)
                 src, dst, valid, _ = expand_frontier_edges(
                     rowptr, colidx, ids, cap_e)
                 unvis = rowsel.take(dist, dst) == INF
@@ -198,8 +257,7 @@ def bfs_do_fused(g, source: int) -> BFSResult:
 
             def bu(args):
                 dist, mask, depth = args
-                cnt = spmv_ell(in_ell, mask.astype(jnp.int32),
-                               semiring=I32_PLUS_TIMES, num_rows=m)
+                cnt = sweep(hyb_, mask)
                 newly = (cnt > 0) & (dist == INF)
                 return jnp.where(newly, depth + 1, dist), newly
 
@@ -216,10 +274,17 @@ def bfs_do_fused(g, source: int) -> BFSResult:
 
             dist, _, depth = jax.lax.while_loop(
                 cond, body, (dist0, mask0, jnp.int32(0)))
+            if new_of_old_ is not None:
+                dist = rowsel.take(dist, new_of_old_)
             return BFSResult(dist, depth)
-        return run
 
-    run = g._dev(("bfs_dofused_run",), build)
+        if layout == "hybrid":
+            jitted = jax.jit(run)
+            return lambda s: jitted(s, hyb, new_of_old)
+        jitted = jax.jit(lambda s: run(s, None, None))
+        return jitted
+
+    run = g._dev(("bfs_dofused_run", layout), build)
     return run(jnp.int32(source))
 
 

@@ -46,15 +46,49 @@ def _relax(in_ell, x_masked, m):
     return spmv_ell(in_ell, x_masked, semiring=I32_MIN_PLUS, num_rows=m)
 
 
-def _sssp_loop(in_ell, m: int, delta: int, use_delta: bool,
-               max_rounds: int):
+def _sssp_loop(g, in_ell, m: int, delta: int, use_delta: bool,
+               max_rounds: int, alpha: int = 15):
+    """Fused bucketed relaxation.  Each round relaxes the lowest
+    occupied bucket (the delta-stepping near pile, src/sssp/dstep.cu:163
+    near/far split: improved vertices re-enter their bucket until it
+    drains, exactly the near-pile reprocessing); narrow buckets — the
+    dominant case on road-class graphs — take the COMPACTED branch
+    (vectorized expand + scatter-min over O(frontier edges)) and only
+    wide buckets pay the dense masked min-plus sweep.  Zero host syncs."""
+    from gardenia_tpu.core import types as _T
+    from gardenia_tpu.ops.frontier import (compact_mask,
+                                           expand_frontier_edges)
+
+    nnz = g.nnz
+    rowptr, colidx = g.device_csr()
+    w = g.device_weights()
+    wi = jnp.ones((nnz,), jnp.int32) if w is None else w.astype(jnp.int32)
+    deg = g.device_degrees()
+    cap_e = _T.next_pow2(max(nnz // alpha, 256))
+    cap_ids = min(_T.next_pow2(max(m, 2)), cap_e)
+
     def run(source):
+        from gardenia_tpu.ops import rowsel
         dist0 = jnp.full((m,), INF, jnp.int32).at[source].set(0)
         frontier0 = jnp.zeros((m,), bool).at[source].set(True)
 
         def cond(state):
             _, frontier, it = state
             return jnp.logical_and(jnp.any(frontier), it < max_rounds)
+
+        def sparse(args):
+            dist, active = args
+            ids = compact_mask(active & (deg > 0), cap_ids, m)
+            src, dst, valid, eid = expand_frontier_edges(
+                rowptr, colidx, ids, cap_e)
+            nd = rowsel.take(dist, src) + rowsel.take(wi, eid)
+            tgt = jnp.where(valid, dst, m)
+            return dist.at[tgt].min(nd, mode="drop")
+
+        def dense(args):
+            dist, active = args
+            x = jnp.where(active, dist, INF)
+            return jnp.minimum(dist, _relax(in_ell, x, m))
 
         def body(state):
             dist, frontier, it = state
@@ -63,9 +97,9 @@ def _sssp_loop(in_ell, m: int, delta: int, use_delta: bool,
                 active = frontier & (dist // delta == bucket)
             else:
                 active = frontier
-            x = jnp.where(active, dist, INF)
-            nd = _relax(in_ell, x, m)
-            new_dist = jnp.minimum(dist, nd)
+            scout = jnp.sum(jnp.where(active, deg, 0))
+            new_dist = jax.lax.cond(scout <= nnz // alpha, sparse,
+                                    dense, (dist, active))
             improved = new_dist < dist
             return new_dist, (frontier & ~active) | improved, it + 1
 
@@ -168,6 +202,6 @@ def sssp_solver(g, source: int = 0, delta: int = 1, *,
         max_rounds = 4 * m + 16
     key = ("sssp_run", variant, int(delta), max_rounds)
     run = g._dev(key, lambda: jax.jit(
-        _sssp_loop(_weighted_in_ell(g), m, max(1, int(delta)),
+        _sssp_loop(g, _weighted_in_ell(g), m, max(1, int(delta)),
                    variant == "delta", max_rounds)))
     return run(jnp.int32(source))
