@@ -158,11 +158,13 @@ def run_tc(args, variant="base"):
     check(total == expect, f"(expected {expect})")
 
 
-def run_scc(args, variant="fb_trim"):
+def run_scc(args, variant="color"):
+    """--variant=color (max-id FB coloring, base.cu) or
+    --variant=wcc (WCC-first decomposition, wcc.cu/two_phase.cu)."""
     print("Strongly Connected Components by gardenia_tpu")
     g, _ = _load(args)
     from gardenia_tpu.solvers.scc import scc_solver
-    res, secs = time_op(lambda: scc_solver(g))
+    res, secs = time_op(lambda: scc_solver(g, variant=variant))
     report_runtime(variant, secs)
     root = np.asarray(res.scc_root)
     expect = oracles.scc_serial(g)

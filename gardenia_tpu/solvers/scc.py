@@ -33,9 +33,21 @@ class SCCResult(NamedTuple):
     iterations: jax.Array  # i32 outer FB rounds
 
 
-def scc_solver(g, *, max_rounds: int = None) -> SCCResult:
+def scc_solver(g, *, max_rounds: int = None,
+               variant: str = "color") -> SCCResult:
     """Reference entry SCCSolver(m, nnz, in/out CSR, scc_root)
-    (src/scc/scc.h:29)."""
+    (src/scc/scc.h:29).
+
+    variant 'color': multi-pivot FB with max-id forward coloring
+    (base.cu scheme) — the partition step costs O(diameter) sweeps.
+    variant 'wcc': WCC-first decomposition (reference wcc.cu /
+    two_phase.cu): the active subgraph is partitioned by weakly
+    connected components via log-depth hooking + pointer jumping, one
+    pivot per component, boolean fwd/bwd closures, and fwd/bwd/neither
+    region tags refine the next round's partition — the partition step
+    is O(log m) instead of O(diameter)."""
+    if variant == "wcc":
+        return _scc_wcc(g, max_rounds=max_rounds)
     m = g.m
     src, dst = g.device_coo()            # forward edges u->v
     if max_rounds is None:
@@ -136,3 +148,130 @@ def scc_solver(g, *, max_rounds: int = None) -> SCCResult:
         return SCCResult(root, it)
 
     return g._dev(("scc_run", max_rounds), lambda: jax.jit(run))()
+
+
+def _scc_wcc(g, *, max_rounds: int = None) -> SCCResult:
+    """WCC-first FB-Trim (reference src/scc/wcc.cu, two_phase.cu).
+
+    Per outer round: trim-1/2, then partition the active subgraph by
+    weakly connected components (scatter-min hooking + pointer jumping,
+    O(log m) inner rounds — the win over max-id coloring's O(diameter)),
+    elect the max-id vertex of each component as its pivot, run boolean
+    forward and backward closures from all pivots at once, assign
+    SCC = fwd ∩ bwd, and tag survivors with their fwd/bwd/neither
+    region so the next round's hooking never merges across regions
+    (two_phase.cu's partition refinement — SCCs cannot span regions)."""
+    m = g.m
+    src, dst = g.device_coo()
+    if max_rounds is None:
+        max_rounds = m + 2
+    jump_steps = max(1, int(np.ceil(np.log2(max(m, 2)))) + 1)
+
+    def run():
+        from gardenia_tpu.ops import rowsel
+
+        vid = jnp.arange(m, dtype=jnp.int32)
+
+        def cond(state):
+            _, active, _, it = state
+            return jnp.any(active) & (it < max_rounds)
+
+        def body(state):
+            root, active, region, it = state
+
+            # --- trim-1 / trim-2 (as in the color variant) -------------
+            def trim_body(st):
+                root, active, _ = st
+                ea = (rowsel.take(active, src) &
+                      rowsel.take(active, dst))
+                ea_i = ea.astype(jnp.int32)
+                ind = jnp.zeros((m,), jnp.int32).at[dst].add(ea_i)
+                outd = jnp.zeros((m,), jnp.int32).at[src].add(ea_i)
+                trivial = active & ((ind == 0) | (outd == 0))
+                in_nbr = jnp.full((m,), -1, jnp.int32).at[dst].max(
+                    jnp.where(ea, src, -1))
+                out_nbr = jnp.full((m,), -1, jnp.int32).at[src].max(
+                    jnp.where(ea, dst, -1))
+                cand = active & (ind == 1) & (outd == 1) & \
+                    (in_nbr == out_nbr)
+                v = jnp.clip(out_nbr, 0, m - 1)
+                paired = cand & rowsel.take(cand, v) & \
+                    (rowsel.take(out_nbr, v) == vid)
+                root = jnp.where(trivial, vid, root)
+                root = jnp.where(paired, jnp.minimum(vid, out_nbr),
+                                 root)
+                removed = trivial | paired
+                return root, active & ~removed, jnp.any(removed)
+
+            root, active, _ = jax.lax.while_loop(
+                lambda st: st[2], trim_body,
+                (root, active, jnp.bool_(True)))
+
+            # --- WCC partition (hook + jump, region-restricted) ---------
+            ea = (rowsel.take(active, src) & rowsel.take(active, dst) &
+                  (rowsel.take(region, src) == rowsel.take(region, dst)))
+
+            def wcc_body(st):
+                comp, _ = st
+                cs = rowsel.take(comp, src)
+                cd = rowsel.take(comp, dst)
+                low_d = jnp.full((m,), m, jnp.int32).at[dst].min(
+                    jnp.where(ea, cs, m))
+                low_s = jnp.full((m,), m, jnp.int32).at[src].min(
+                    jnp.where(ea, cd, m))
+                new = jnp.minimum(comp, jnp.minimum(low_d, low_s))
+
+                def jump(_, c):
+                    return rowsel.take(c, c)
+
+                new = jax.lax.fori_loop(0, jump_steps, jump, new)
+                return new, jnp.any(new != comp)
+
+            comp, _ = jax.lax.while_loop(
+                lambda st: st[1], wcc_body, (vid, jnp.any(active)))
+
+            # --- one pivot per component: its max active vertex ---------
+            piv_of_comp = jnp.full((m,), -1, jnp.int32).at[
+                jnp.where(active, comp, m - 1)].max(
+                jnp.where(active, vid, -1), mode="drop")
+            pivot_id = rowsel.take(piv_of_comp, comp)   # per vertex
+            pivots = active & (vid == pivot_id)
+
+            # --- boolean closures (edges stay within one WCC) -----------
+            def fw_body(st):
+                reach, _ = st
+                x = ea & rowsel.take(reach, src)
+                pushed = jnp.zeros((m,), bool).at[dst].max(x)
+                new = reach | pushed
+                return new, jnp.any(new != reach)
+
+            fwd, _ = jax.lax.while_loop(
+                lambda st: st[1], fw_body, (pivots, jnp.any(pivots)))
+
+            def bw_body(st):
+                reach, _ = st
+                x = ea & rowsel.take(reach, dst)
+                pushed = jnp.zeros((m,), bool).at[src].max(x)
+                new = reach | pushed
+                return new, jnp.any(new != reach)
+
+            bwd, _ = jax.lax.while_loop(
+                lambda st: st[1], bw_body, (pivots, jnp.any(pivots)))
+
+            in_scc = active & fwd & bwd
+            root = jnp.where(in_scc, pivot_id, root)
+            # region tags refine next round's partition: 0 fwd-only,
+            # 1 bwd-only, 2 neither (disjoint per component by
+            # construction; offset by component to stay globally unique)
+            region = jnp.where(fwd & ~bwd, comp * 3,
+                               jnp.where(bwd & ~fwd, comp * 3 + 1,
+                                         comp * 3 + 2))
+            return root, active & ~in_scc, region, it + 1
+
+        root0 = jnp.full((m,), -1, jnp.int32)
+        state = (root0, jnp.ones((m,), bool),
+                 jnp.zeros((m,), jnp.int32), jnp.int32(0))
+        root, _, _, it = jax.lax.while_loop(cond, body, state)
+        return SCCResult(root, it)
+
+    return g._dev(("scc_wcc_run", max_rounds), lambda: jax.jit(run))()

@@ -84,3 +84,46 @@ def test_scc_trim2_chain():
     res = scc_solver(g)
     assert partitions_equal(res.scc_root, oracles.scc_serial(g))
     assert len(np.unique(np.asarray(res.scc_root))) == 10
+
+
+@pytest.mark.parametrize("variant", ["color", "wcc"])
+def test_scc_variants_random(variant):
+    g = random_graph(m=120, avg_deg=3, seed=11)
+    res = scc_solver(g, variant=variant)
+    assert partitions_equal(res.scc_root, oracles.scc_serial(g))
+
+
+@pytest.mark.parametrize("variant", ["color", "wcc"])
+def test_scc_adversarial_cycle(variant):
+    """Single directed cycle: one big SCC (diameter-bound closures)."""
+    import numpy as np
+    from gardenia_tpu.core.graph import Graph
+    n = 400
+    g = Graph(np.arange(n + 1), ((np.arange(n) + 1) % n).astype(np.int32))
+    res = scc_solver(g, variant=variant)
+    assert len(np.unique(np.asarray(res.scc_root))) == 1
+
+
+@pytest.mark.parametrize("variant", ["color", "wcc"])
+def test_scc_adversarial_chain_of_2cycles(variant):
+    """Chain of 2-cycles linked by forward edges (reference wcc.cu /
+    two_phase.cu stress shape)."""
+    import numpy as np
+    from gardenia_tpu.core.graph import Graph
+    n = 60
+    src, dst = [], []
+    for i in range(n):
+        a, b = 2 * i, 2 * i + 1
+        src += [a, b]
+        dst += [b, a]
+        if i < n - 1:
+            src += [b]
+            dst += [2 * i + 2]
+    order = np.lexsort((dst, src))
+    src = np.asarray(src)[order]
+    dst = np.asarray(dst)[order]
+    rp = np.zeros(2 * n + 1, np.int64)
+    np.add.at(rp, src + 1, 1)
+    g = Graph(np.cumsum(rp), dst.astype(np.int32))
+    res = scc_solver(g, variant=variant)
+    assert partitions_equal(res.scc_root, oracles.scc_serial(g))
