@@ -35,8 +35,12 @@ SUBLANES = 8     # float32 sublane count
 # into multiple virtual rows (the TPU analog of the reference's CSR-vector /
 # warp-per-row mapping, src/spmv/vector.cu:26-62).
 ELL_WIDTH_CAP = 256
-# Narrowest slab width; narrower rows are padded up to this.
-ELL_MIN_WIDTH = 4
+# Narrowest slab width; narrower rows are padded up to this.  Width
+# buckets are exact up to ELL_EXACT_WIDTH and power-of-two beyond — on
+# power-law tails (degree-1/2/3 rows dominate) exact narrow buckets cut
+# slab padding from ~1.5x to ~1.1x, and every slot costs a real gather.
+ELL_MIN_WIDTH = 1
+ELL_EXACT_WIDTH = 8
 
 
 def next_pow2(x: int) -> int:

@@ -65,10 +65,11 @@ def build_ell(rowptr: np.ndarray,
     starts = row_first + cc * width_cap
     widths = np.minimum(np.repeat(deg, n_chunks) - cc * width_cap,
                         width_cap).astype(np.int64)
-    # --- bucket by padded (pow2) width ------------------------------------
+    # --- bucket by padded width: exact narrow widths, pow2 beyond ---------
+    pow2_w = 1 << np.ceil(np.log2(np.maximum(widths, 1))).astype(np.int64)
     pad_w = np.maximum(min_width,
-                       (1 << np.ceil(np.log2(np.maximum(widths, 1)))
-                        .astype(np.int64)))
+                       np.where(widths <= T.ELL_EXACT_WIDTH, widths,
+                                pow2_w))
     buckets = []
     col_sentinel = T.VID_DTYPE(num_cols)
     row_sentinel = T.VID_DTYPE(m)

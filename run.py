@@ -23,6 +23,22 @@ FIXTURES = [
 ANALYTICS = ["bfs", "sssp", "pr", "cc", "bc", "vc", "spmv", "symgs",
              "tc", "scc", "mst", "sgd"]
 MINING = ["kcl", "motif", "sgl", "fsm"]
+# kernels whose serial oracles stay tractable at scale 16 — these also
+# run on the cached R-MAT-16 graph (1.8M edges) so the regression
+# exercises real load-balancing, not just the 39-vertex fixture
+SCALE16_KERNELS = {"bfs", "sssp", "pr", "cc", "vc", "spmv", "tc"}
+
+
+def _rmat16_prefix():
+    """Generate/caches the scale-16 R-MAT binary (shared with bench.py)."""
+    try:
+        from bench import get_graph
+        get_graph(16, need_reverse=True)
+        return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench_cache", "rmat16")
+    except Exception as ex:                       # pragma: no cover
+        print(f"(skipping rmat16 regression: {ex})")
+        return None
 
 
 def main():
@@ -31,23 +47,34 @@ def main():
     ap.add_argument("--datasets", default=None,
                     help="comma-separated graph paths (default: fixtures)")
     ap.add_argument("--device", default=None)
+    ap.add_argument("--quick", action="store_true",
+                    help="fixture datasets only (skip the rmat16 rows)")
     args = ap.parse_args()
 
-    runs = []
     if args.datasets:
         datasets = [("mtx", p, "1") for p in args.datasets.split(",")]
     else:
-        datasets = FIXTURES
+        datasets = list(FIXTURES)
         extra = "datasets"
         if os.path.isdir(extra):
             for f in sorted(os.listdir(extra)):
                 if f.endswith(".mtx"):
                     datasets.append(("mtx", os.path.join(extra, f), "1"))
 
+    big = None
+    if not args.quick and not args.datasets:
+        prefix = _rmat16_prefix()
+        if prefix:
+            big = ("bin", prefix, "1")
+
     kernels = args.kernels.split(",")
     failures = 0
+    total_runs = 0
     for kernel in kernels:
-        for ft, path, sym in datasets:
+        targets = datasets + ([big] if big and kernel in SCALE16_KERNELS
+                              else [])
+        total_runs += len(targets)
+        for ft, path, sym in targets:
             cmd = [sys.executable, "-u", "-m", "gardenia_tpu.cli", kernel]
             if args.device:
                 cmd.append(f"--device={args.device}")
@@ -70,8 +97,7 @@ def main():
                   f"{runtime}  ({time.time()-t0:.1f}s)", flush=True)
             if not ok and proc.stderr:
                 print("  stderr:", proc.stderr.strip().splitlines()[-1])
-    print(f"\n{len(kernels) * len(datasets) - failures} passed, "
-          f"{failures} failed")
+    print(f"\n{total_runs - failures} passed, {failures} failed")
     return 1 if failures else 0
 
 

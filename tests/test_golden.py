@@ -39,8 +39,12 @@ def test_pr_golden_transcript(capsys):
     for line in GOLDEN_LINES:
         assert line in out, f"golden line missing: {line!r}\n--- got:\n{out}"
     # iteration 4 differs in the last printed digit across accumulation
-    # orders (reference prints 0.043501)
-    assert "  4    0.04350" in out
+    # orders (reference prints 0.043501): assert a numeric tolerance
+    # instead of dropping the line
+    import re
+    m = re.search(r"^\s+4\s+([0-9.]+)\s*$", out, re.M)
+    assert m, out
+    assert abs(float(m.group(1)) - 0.043501) < 2e-6
 
 
 ALL_KERNELS = ["bfs", "sssp", "pr", "cc", "bc", "vc", "spmv", "symgs",
