@@ -177,18 +177,18 @@ BASELINE_SGD_MRPS = 500.0   # A100-class MF-SGD ratings/s (K=20)
 
 def bench_sgd(scale: int, epochs: int = 10):
     """SGD matrix factorization training throughput (ratings/s x K=20
-    latent dims; einsum contractions ride the MXU).  Full-batch steps
-    need a hub-safe learning rate on power-law data (the reference's
-    per-edge Hogwild scales differently), so step ~ 1/max_degree."""
+    latent dims; einsum contractions ride the MXU).  Mini-batched epochs
+    with degree-normalized per-vertex updates converge at step 0.1 on
+    power-law data (full-batch needed a 1/max_degree step and barely
+    moved the RMSE — round-1 finding)."""
     import numpy as np
     from gardenia_tpu.solvers.sgd import sgd_solver
     from gardenia_tpu.utils.timer import time_op
     g = get_graph(scale, need_reverse=False)
     rng = np.random.default_rng(13)
     g.weights = rng.integers(1, 6, g.nnz).astype(np.float64)  # ratings
-    step = 0.5 / max(1, int(g.degrees.max()))
     res, secs = time_op(
-        lambda: sgd_solver(g, step=step, max_iters=epochs, epsilon=0.0),
+        lambda: sgd_solver(g, step=0.1, max_iters=epochs, epsilon=0.0),
         warmup=1, iters=2)
     mrps = g.nnz * epochs / secs / 1e6
     return {"metric": f"sgd_mf_mrps_rmat{scale}", "value": round(mrps, 2),

@@ -69,25 +69,98 @@ def make_sgd_step(src, dst, ratings, lam, step, num_users, num_items):
     return sgd_step
 
 
+def make_sgd_epoch(src, dst, ratings, lam, step, num_users, num_items,
+                   batches: int, seed: int = 17):
+    """Mini-batched epoch matching the reference's accumulate-then-apply
+    semantics (src/sgd/omp_base.cc:40-99): per batch, every touched
+    vertex accumulates uerr[i] = sum over its batch edges of
+    ilv[dst]*delta and applies ulv[i] += step*uerr[i]; the -lambda*ulv
+    regularization is applied once per epoch, as the reference applies
+    it once per iteration over all vertices.  The squared errors for the
+    RMSE trace use each batch's PRE-update factors — the reference
+    likewise measures mid-iteration errors (omp_base.cc:92-95, Hogwild
+    estimates).  batches=1 degrades to one synchronous iteration."""
+    nnz = int(ratings.shape[0])
+    per = -(-nnz // batches)
+    # static shuffled batch assignment: pad edges to batches*per with
+    # zero-rating self-estimating sentinels (delta forced to 0)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(nnz).astype(np.int32)
+    pad = batches * per - nnz
+    order = np.concatenate([order, np.zeros(pad, np.int32)])
+    valid = np.concatenate([np.ones(nnz, np.float32),
+                            np.zeros(pad, np.float32)])
+    src_b = jnp.asarray(np.asarray(src)[order].reshape(batches, per))
+    dst_b = jnp.asarray(np.asarray(dst)[order].reshape(batches, per))
+    r_b = jnp.asarray(np.asarray(ratings)[order].reshape(batches, per))
+    v_b = jnp.asarray(valid.reshape(batches, per))
+
+    def epoch(ulv, ilv):
+        def body(b, carry):
+            ulv, ilv, sq = carry
+            s, d, r, v = src_b[b], dst_b[b], r_b[b], v_b[b]
+            us, it_ = ulv[s], ilv[d]                      # (per, K)
+            delta = (r - jnp.einsum("ek,ek->e", us, it_)) * v
+            sq = sq + jnp.sum(delta * delta)
+            # per-vertex MEAN gradient over the batch: hub rows see
+            # hundreds of edges per batch, and a summed update at any
+            # usable global step diverges on power-law data (the
+            # reference copes with a 3.5e-7 global step, sgd.h:27);
+            # normalizing by the batch count makes the step scale
+            # degree-free, so convergence is fast on hubs AND tails
+            ucnt = jax.ops.segment_sum(v, s, num_segments=num_users)
+            icnt = jax.ops.segment_sum(v, d, num_segments=num_items)
+            uerr = jax.ops.segment_sum(it_ * delta[:, None], s,
+                                       num_segments=num_users) / \
+                jnp.maximum(ucnt, 1.0)[:, None]
+            ierr = jax.ops.segment_sum(us * delta[:, None], d,
+                                       num_segments=num_items) / \
+                jnp.maximum(icnt, 1.0)[:, None]
+            return ulv + step * uerr, ilv + step * ierr, sq
+
+        ulv, ilv, sq = jax.lax.fori_loop(
+            0, batches, body, (ulv, ilv, jnp.float32(0)))
+        # per-epoch regularization (reference: once per iteration)
+        ulv = ulv - step * lam * ulv
+        ilv = ilv - step * lam * ilv
+        return ulv, ilv, jnp.sqrt(sq / nnz)
+
+    return epoch
+
+
 def sgd_solver(g, lam: float = DEFAULT_LAMBDA, step: float = DEFAULT_STEP,
                max_iters: int = DEFAULT_MAX_ITERS,
-               epsilon: float = DEFAULT_EPSILON, seed: int = 0
-               ) -> SGDResult:
+               epsilon: float = DEFAULT_EPSILON, seed: int = 0,
+               batches: int = None) -> SGDResult:
     """Reference entry SGDSolver(m, n, nnz, row_offsets, column_indices,
     rating, user_lv, item_lv, ordering) (src/sgd/sgd.h:31).  g is the
     bipartite rating graph: rows = users, colidx = items (g.n items),
-    weights = ratings."""
+    weights = ratings.
+
+    batches: mini-batches per epoch (None -> one batch per ~64K edges,
+    capped at 64 — stochastic convergence close to the reference's
+    per-vertex accumulate scheme); batches=0 selects the exact
+    full-gradient step (round-1 behavior)."""
     m, n = g.m, max(g.n, int(g.colidx.max()) + 1 if g.nnz else 1)
+    if batches is None:
+        # small problems take the exact full-gradient step (one batch is
+        # the whole dataset anyway); large ones go stochastic
+        batches = min(64, g.nnz // 65536)
 
     def build():
         src, dst = g.device_coo()
         ratings = jnp.asarray(
             (g.weights if g.weights is not None else np.ones(g.nnz))
             .astype(np.float32))
-        sgd_step = make_sgd_step(src, dst, ratings, lam, step, m, n)
+        if batches:
+            sgd_step = make_sgd_epoch(src, dst, ratings, lam, step,
+                                      m, n, batches)
+        else:
+            sgd_step = make_sgd_step(src, dst, ratings, lam, step, m, n)
         return _build_run(sgd_step, max_iters, epsilon)
 
-    run = g._dev(("sgd_run", lam, step, max_iters, epsilon), build)
+    run = g._dev(("sgd_run", lam, step, max_iters, epsilon, batches),
+                 build)
     return run(jnp.asarray(init_latent(m, seed)),
                jnp.asarray(init_latent(n, seed + 1)))
 

@@ -101,3 +101,13 @@ def test_tc_rotate_multi_slice(monkeypatch):
     expect = oracles.tc_serial(g.oriented())
     monkeypatch.setattr(tcmod, "PAIR_SLICE_LIMIT", 2048)
     assert tcmod.tc_rotate(g, chunk=256) == expect
+
+
+def test_sgd_minibatch_converges():
+    """Mini-batched epochs (reference accumulate-then-apply semantics,
+    degree-normalized) reduce RMSE monotonically-ish on weighted data."""
+    g = random_graph(m=200, avg_deg=10, seed=5, weighted=True)
+    res = sgd_solver(g, step=0.1, max_iters=6, epsilon=0.0, batches=4)
+    rmse = np.asarray(res.rmse)[:6]
+    assert np.isfinite(rmse).all()
+    assert rmse[-1] < rmse[0] * 0.8
