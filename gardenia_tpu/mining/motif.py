@@ -86,53 +86,83 @@ def edge_triangle_counts(g, chunk: int = 1 << 20) -> np.ndarray:
     return np.asarray(tri)
 
 
-def codegree_cycle_quads(g) -> int:
+def codegree_cycle_quads(g, pass_budget: int = 200_000_000) -> int:
     """C_non = sum over unordered non-center pairs of C(codeg, 2) / 2.
 
-    Enumerates wedges per center and counts duplicate endpoint pairs.
-    Host implementation (sort-based); device chunking is a perf TODO.
-    The wedge space is Theta(sum deg^2) — guarded against blow-up on
-    power-law graphs (use k=3 there; exact C4 at scale is a known hard
-    kernel, cf. ESCAPE)."""
+    Enumerates wedges per center and counts duplicate endpoint pairs
+    (vectorized unranking + sort).  The wedge space is Theta(sum deg^2);
+    when it exceeds `pass_budget` the pair space is hash-partitioned by
+    the smaller endpoint (u mod P) and enumerated in P passes, so peak
+    memory stays ~pass_budget while any wedge total is exact — the
+    multi-pass analog of the reference's bounded embedding queues
+    (include/mining/embedding.h)."""
     m = g.m
     deg = np.diff(g.rowptr).astype(np.int64)
     pairs_per_v = deg * (deg - 1) // 2
     wedge_total = int(pairs_per_v.sum())
-    if wedge_total > 200_000_000:
-        raise MemoryError(
-            f"4-cycle census needs {wedge_total:.2e} wedges; too large "
-            "for the host sort path — use motif_solver(g, k=3)")
     if wedge_total == 0:
         return 0
+    n_pass = max(1, -(-wedge_total // pass_budget))
     rp, ci = g.rowptr, np.asarray(g.colidx, dtype=np.int64)
-    # fully vectorized wedge-pair enumeration: global pair slot q ->
-    # (center v, unordered slot pair i<j) via triangular unranking
     cum = np.cumsum(pairs_per_v)
-    v = np.repeat(np.arange(m, dtype=np.int64), pairs_per_v)
-    q = np.arange(wedge_total, dtype=np.int64) - np.repeat(
-        cum - pairs_per_v, pairs_per_v)
-    d = deg[v]
-    # i = smallest row index whose block contains q; unrank with a
-    # float estimate then exact fix-up (float64 sqrt can be off by 1)
-    i = ((2 * d - 1) - np.sqrt((2 * d - 1) ** 2 - 8 * q)) // 2
-    i = i.astype(np.int64)
+    base = cum - pairs_per_v
 
-    def start_of(i):
-        return i * (2 * d - i - 1) // 2
+    def wedge_endpoints(lo: int, hi: int):
+        """Vectorized unranking of wedge slots [lo, hi) -> (u, w) with
+        u < w (neighbor lists are sorted): global pair slot q ->
+        (center v, unordered slot pair i<j)."""
+        v_lo = np.searchsorted(cum, lo, side="right")
+        v_hi = np.searchsorted(cum, hi - 1, side="right") + 1
+        ppv = pairs_per_v[v_lo:v_hi].copy()
+        # clip the first/last center's pair range to [lo, hi)
+        v = np.repeat(np.arange(v_lo, v_hi, dtype=np.int64), ppv)
+        q = np.arange(base[v_lo], base[v_lo] + len(v), dtype=np.int64) \
+            - base[v]
+        sel = (q + base[v] >= lo) & (q + base[v] < hi)
+        v, q = v[sel], q[sel]
+        d = deg[v]
+        # unrank with a float estimate then exact fix-up (float64 sqrt
+        # can be off by 1)
+        i = ((2 * d - 1) - np.sqrt((2 * d - 1) ** 2 - 8 * q)) // 2
+        i = i.astype(np.int64)
 
-    i = np.where(start_of(i) > q, i - 1, i)
-    i = np.where(start_of(i + 1) <= q, i + 1, i)
-    j = q - start_of(i) + i + 1
-    u = ci[rp[v] + i]
-    w = ci[rp[v] + j]
-    keys = u * m + w
-    keys.sort(kind="stable")
-    boundary = np.empty(wedge_total, bool)
-    boundary[0] = True
-    np.not_equal(keys[1:], keys[:-1], out=boundary[1:])
-    starts = np.nonzero(boundary)[0]
-    counts = np.diff(np.concatenate([starts, [wedge_total]]))
-    return int((counts * (counts - 1) // 2).sum()) // 2
+        def start_of(i):
+            return i * (2 * d - i - 1) // 2
+
+        i = np.where(start_of(i) > q, i - 1, i)
+        i = np.where(start_of(i + 1) <= q, i + 1, i)
+        j = q - start_of(i) + i + 1
+        return ci[rp[v] + i], ci[rp[v] + j]
+
+    def count_dups(keys: np.ndarray) -> int:
+        if not len(keys):
+            return 0
+        keys.sort(kind="stable")
+        boundary = np.empty(len(keys), bool)
+        boundary[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=boundary[1:])
+        starts = np.nonzero(boundary)[0]
+        counts = np.diff(np.concatenate([starts, [len(keys)]]))
+        return int((counts * (counts - 1) // 2).sum())
+
+    if n_pass == 1:
+        u, w = wedge_endpoints(0, wedge_total)
+        return count_dups(u * m + w) // 2
+
+    # multi-pass: pass p keeps pairs with u % n_pass == p (all wedges of
+    # a pair land in one pass, so per-pass duplicate counts are exact)
+    total = 0
+    chunk = max(1 << 20, pass_budget // 4)
+    for p in range(n_pass):
+        parts = []
+        for lo in range(0, wedge_total, chunk):
+            u, w = wedge_endpoints(lo, min(lo + chunk, wedge_total))
+            keep = (u % n_pass) == p
+            if keep.any():
+                parts.append(u[keep] * m + w[keep])
+        if parts:
+            total += count_dups(np.concatenate(parts))
+    return total // 2
 
 
 def motif_solver(g, k: int = 3) -> Dict[str, int]:

@@ -126,3 +126,13 @@ def test_motif_edge_tri_multi_slice(monkeypatch):
     monkeypatch.setattr(kclmod, "EMB_WEDGE_LIMIT", 256)
     got = edge_triangle_counts(g, chunk=128)
     np.testing.assert_array_equal(got, expect)
+
+
+def test_codegree_quads_multipass():
+    """Hash-partitioned multi-pass C4 codegree counting is exact for any
+    pass budget (removes the round-1 2e8 wedge cap)."""
+    from gardenia_tpu.mining.motif import codegree_cycle_quads
+    g = random_graph(m=40, avg_deg=8, seed=9, symmetric=True)
+    ref = codegree_cycle_quads(g)
+    assert codegree_cycle_quads(g, pass_budget=64) == ref
+    assert codegree_cycle_quads(g, pass_budget=7) == ref
