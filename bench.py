@@ -74,7 +74,8 @@ def bench_spmv(scale: int):
     g = get_graph(scale, need_reverse=False)
     Ax = np.full(g.nnz, 0.2, np.float32)
     x = np.full(g.n, 0.3, np.float32)
-    y, secs = time_op(lambda: spmv_solver(g, Ax, x), warmup=1, iters=5)
+    y, secs = time_op(lambda: spmv_solver(g, Ax, x, variant="auto"),
+                      warmup=1, iters=5)
     gflops = 2 * g.nnz / secs / 1e9
     return {"metric": f"spmv_gflops_rmat{scale}", "value": round(gflops, 3),
             "unit": "GFLOP/s",

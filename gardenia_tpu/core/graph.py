@@ -202,14 +202,32 @@ class Graph:
 def from_edges(edges: io.EdgeListData, *, symmetrize: bool = False,
                need_reverse: bool = False, remove_self_loops: bool = True,
                dedup: bool = True, keep_weights: bool = True) -> Graph:
-    """Clean a parsed edge list into a Graph (reference fill_data path)."""
+    """Clean a parsed edge list into a Graph (reference fill_data path).
+
+    Uses the native C++ builder (native/csr_build.cpp: radix sort +
+    dedup + prefix sum) when available, with the NumPy path as the
+    always-correct fallback (parity-tested)."""
+    from gardenia_tpu import native
+
     wt = edges.wt if keep_weights else None
-    src, dst, wt = build.clean_edges(
-        edges.src, edges.dst, wt, num_rows=edges.num_rows,
-        remove_self_loops=remove_self_loops, dedup=dedup,
-        symmetrize=symmetrize)
-    rp, ci, w = build.coo_to_csr(edges.num_rows, src, dst, wt,
-                                 sorted_by_src=True)
+    rp = None
+    span = max(edges.num_rows, edges.num_cols)
+    use_native = native.builder_available() and not (
+        symmetrize and edges.num_cols != edges.num_rows)
+    nat = native.build_csr(span, edges.src, edges.dst, wt,
+                           remove_self_loops=remove_self_loops,
+                           dedup=dedup, symmetrize=symmetrize) \
+        if use_native else None
+    if nat is not None:
+        rp, ci, w = nat
+        rp = rp[:edges.num_rows + 1]      # bipartite: rows only
+    if rp is None:
+        src, dst, wt = build.clean_edges(
+            edges.src, edges.dst, wt, num_rows=edges.num_rows,
+            remove_self_loops=remove_self_loops, dedup=dedup,
+            symmetrize=symmetrize)
+        rp, ci, w = build.coo_to_csr(edges.num_rows, src, dst, wt,
+                                     sorted_by_src=True)
     # Match reference semantics: only an explicit symmetrize flag makes the
     # graph undirected (the MatrixMarket 'symmetric' banner is recorded on
     # EdgeListData but not auto-expanded; csr_graph.h:104-117).

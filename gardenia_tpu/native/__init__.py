@@ -105,3 +105,103 @@ def parse_edges(path: str, fmt: str
         if wt_p:
             lib.gt_free(wt_p)
     return m.value, n.value, src, dst, wt
+
+
+# --- native CSR builder (csr_build.cpp) -------------------------------------
+
+_BUILD_SRC = os.path.join(_HERE, "csr_build.cpp")
+_BUILD_SO = os.path.join(_HERE, "libgtbuild.so")
+_BUILD_LIB = None
+_BUILD_FAILED = False
+
+
+def _build_lib():
+    global _BUILD_LIB, _BUILD_FAILED
+    if _BUILD_LIB is not None or _BUILD_FAILED:
+        return _BUILD_LIB
+    with _LOCK:
+        if _BUILD_LIB is not None or _BUILD_FAILED:
+            return _BUILD_LIB
+        path = _BUILD_SO
+        if not (os.path.exists(path) and
+                os.path.getmtime(path) >= os.path.getmtime(_BUILD_SRC)):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", _BUILD_SRC,
+                     "-o", path + ".tmp"],
+                    check=True, capture_output=True, timeout=120)
+                os.replace(path + ".tmp", path)
+            except Exception:
+                _BUILD_FAILED = True
+                return None
+        try:
+            lib = ctypes.CDLL(path)
+            lib.gt_build_csr.restype = ctypes.c_int
+            lib.gt_build_csr.argtypes = [
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+            ]
+            lib.gt_free.restype = None
+            lib.gt_free.argtypes = [ctypes.c_void_p]
+            _BUILD_LIB = lib
+        except OSError:
+            _BUILD_FAILED = True
+    return _BUILD_LIB
+
+
+def builder_available() -> bool:
+    return _build_lib() is not None
+
+
+def build_csr(num_rows: int, src: np.ndarray, dst: np.ndarray,
+              wt: Optional[np.ndarray] = None, *,
+              remove_self_loops: bool = True, dedup: bool = True,
+              symmetrize: bool = False
+              ) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                  Optional[np.ndarray]]]:
+    """Clean COO edges into CSR natively (radix sort + dedup + prefix
+    sum, csr_build.cpp).  Returns (rowptr i64[m+1], colidx i32, wt or
+    None), or None when the native path is unavailable."""
+    lib = _build_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    w = None if wt is None else np.ascontiguousarray(wt, np.float64)
+    flags = (1 if remove_self_loops else 0) | (2 if dedup else 0) | \
+        (4 if symmetrize else 0)
+    out_nnz = ctypes.c_int64()
+    rp_p = ctypes.POINTER(ctypes.c_int64)()
+    ci_p = ctypes.POINTER(ctypes.c_int32)()
+    wt_p = ctypes.POINTER(ctypes.c_double)()
+    rc = lib.gt_build_csr(
+        num_rows, len(src),
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        None if w is None else
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        flags, ctypes.byref(out_nnz), ctypes.byref(rp_p),
+        ctypes.byref(ci_p), ctypes.byref(wt_p))
+    if rc != 0:
+        return None
+    k = out_nnz.value
+    try:
+        rowptr = np.ctypeslib.as_array(rp_p, shape=(num_rows + 1,)).copy()
+        colidx = np.ctypeslib.as_array(ci_p, shape=(max(k, 1),))[:k].copy()
+        wout = None
+        if wt is not None and wt_p:
+            wout = np.ctypeslib.as_array(wt_p, shape=(max(k, 1),))[:k] \
+                .copy()
+    finally:
+        lib.gt_free(rp_p)
+        lib.gt_free(ci_p)
+        if wt_p:
+            lib.gt_free(wt_p)
+    return rowptr, colidx, wout

@@ -81,3 +81,43 @@ def test_native_skips_extra_fields(tmp_path):
     np.testing.assert_array_equal(src, [0, 1, 2])
     np.testing.assert_array_equal(dst, [1, 2, 0])
     np.testing.assert_allclose(wt, [0.5, 0.25, 0.125])
+
+
+@pytest.mark.skipif(False, reason="")
+def test_native_csr_builder_parity():
+    """Native radix-sort CSR builder == NumPy clean_edges/coo_to_csr on
+    random edge lists across flag combinations."""
+    from gardenia_tpu import native
+    from gardenia_tpu.core import build
+    if not native.builder_available():
+        pytest.skip("native builder unavailable")
+    rng = np.random.default_rng(5)
+    m = 200
+    src = rng.integers(0, m, 3000).astype(np.int32)
+    dst = rng.integers(0, m, 3000).astype(np.int32)
+    wt = rng.random(3000)
+    for sym in (False, True):
+        for use_wt in (False, True):
+            w = wt if use_wt else None
+            s2, d2, w2 = build.clean_edges(
+                src.copy(), dst.copy(),
+                None if w is None else w.copy(), num_rows=m,
+                symmetrize=sym)
+            rp_e, ci_e, w_e = build.coo_to_csr(m, s2, d2, w2,
+                                               sorted_by_src=True)
+            got = native.build_csr(m, src, dst, w, symmetrize=sym)
+            assert got is not None
+            rp_g, ci_g, w_g = got
+            np.testing.assert_array_equal(rp_g, rp_e)
+            np.testing.assert_array_equal(ci_g, ci_e)
+            if use_wt:
+                np.testing.assert_allclose(w_g, w_e)
+            else:
+                assert w_g is None
+
+
+def test_from_edges_uses_native_builder():
+    """from_edges through the native builder matches the fixture load."""
+    from gardenia_tpu import load_graph
+    g = load_graph(f"{DATASETS}/chesapeake.mtx", "mtx", symmetrize=True)
+    assert g.nnz == 340 and g.m == 39
