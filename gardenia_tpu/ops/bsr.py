@@ -52,11 +52,21 @@ LANE_BITS = 7
 
 class HybridMatrix(NamedTuple):
     """Device (or host) arrays of the hybrid layout.  B dense blocks +
-    an ELL-slab remainder (possibly empty: B==0 / rem.buckets==())."""
+    an ELL-slab remainder (possibly empty: B==0 / rem.buckets==()).
+    Dense blocks are dst-sorted with every destination row visited at
+    least once (zero blocks pad the gaps) and carry first-visit flags —
+    the layout the Pallas kernel (ops/pallas_bsr.py) consumes; the XLA
+    segment-sum path uses the same arrays."""
     blk: jax.Array        # bf16|f32 [B,128,128]; blk[b,i,j] = A[db*128+i, sb*128+j]
     blk_src: jax.Array    # i32[B] source block column
     blk_dst: jax.Array    # i32[B] destination block row (non-decreasing)
+    blk_first: jax.Array  # i32[B] 1 on the first block of each dst row
     rem: object           # ops.ell.EllMatrix over the remainder edges
+
+
+# flipped per-backend after measurement (bench/PERFORMANCE.md); the XLA
+# einsum+segment-sum path is the always-available fallback
+USE_PALLAS_DENSE = False
 
 
 def build_hybrid(rowptr: np.ndarray,
@@ -126,6 +136,16 @@ def build_hybrid(rowptr: np.ndarray,
         blk_src_h = np.zeros(0, np.int32)
         blk_h = np.zeros((0, LANES, LANES), blk_dtype)
 
+    # pallas-ready dense layout: every dst row visited, first flags
+    if nB:
+        from gardenia_tpu.ops.pallas_bsr import pad_blocks_for_pallas
+        mb = (num_rows + LANES - 1) // LANES
+        blk_src_h, blk_dst_h, first_h, order2, pad_blk = \
+            pad_blocks_for_pallas(blk_src_h, blk_dst_h, mb, blk_dtype)
+        blk_h = np.concatenate([blk_h, pad_blk], axis=0)[order2]
+    else:
+        first_h = np.zeros(0, np.int32)
+
     # ---- ELL remainder ----------------------------------------------------
     eo = order[~edge_dense]
     rs, rd, rw = src[eo], dst[eo], w[eo]
@@ -134,7 +154,7 @@ def build_hybrid(rowptr: np.ndarray,
         num_rows, rd[ro].astype(np.int32), rs[ro].astype(np.int32),
         rw[ro] if weights is not None else None, sorted_by_src=True)
     rem = build_ell(rem_rp, rem_ci, rem_w, num_cols=num_cols)
-    return HybridMatrix(blk_h, blk_src_h, blk_dst_h, rem)
+    return HybridMatrix(blk_h, blk_src_h, blk_dst_h, first_h, rem)
 
 
 def _pad_operand(x: jax.Array, num_cols: int) -> jax.Array:
@@ -144,19 +164,29 @@ def _pad_operand(x: jax.Array, num_cols: int) -> jax.Array:
 
 
 def spmv_hybrid(hyb: HybridMatrix, x: jax.Array, *, num_rows: int,
-                init: Optional[jax.Array] = None) -> jax.Array:
+                init: Optional[jax.Array] = None,
+                use_pallas: Optional[bool] = None) -> jax.Array:
     """y = A x (plus-times, f32) over the hybrid layout.
 
     Equivalent to spmv_ell(..., F32_PLUS_TIMES) on the same matrix; this
     is the bandwidth-optimal production path for PR/SpMV-class kernels.
+    use_pallas selects the hand-fused dense-block kernel
+    (ops/pallas_bsr.py) over the XLA einsum+segment-sum lowering
+    (None -> module default USE_PALLAS_DENSE).
     """
+    if use_pallas is None:
+        use_pallas = USE_PALLAS_DENSE
     num_cols = int(x.shape[0])
     x2d = _pad_operand(x, num_cols)
     mb = (num_rows + LANES - 1) // LANES
     y2d = jnp.zeros((mb, LANES), jnp.float32)
 
     nB = hyb.blk.shape[0]
-    if nB:
+    if nB and use_pallas:
+        from gardenia_tpu.ops.pallas_bsr import dense_block_spmv
+        y2d = dense_block_spmv(hyb.blk, hyb.blk_src, hyb.blk_dst,
+                               hyb.blk_first, x2d, mb)
+    elif nB:
         xg = x2d[hyb.blk_src]                          # (B,128) row gather
         # split-f32 operand: hi + lo bf16 halves share one pass over A
         x_hi = xg.astype(jnp.bfloat16)

@@ -37,3 +37,28 @@ def test_tiled_spmv_empty_rows():
     y = spmv_tiled(tiles, jnp.asarray(np.arange(4, dtype=np.float32)),
                    num_rows=4, interpret=True)
     np.testing.assert_allclose(np.asarray(y), [0., 3., 0., 1.])
+
+
+def test_pallas_dense_block_spmv_interpret():
+    """Hand-fused dense-block kernel (ops/pallas_bsr.py) == the XLA
+    einsum+segment-sum lowering on the same HybridMatrix."""
+    import jax.numpy as jnp
+    from tests.conftest import random_graph
+    from gardenia_tpu.ops.bsr import LANES, _pad_operand, build_hybrid, \
+        spmv_hybrid
+    from gardenia_tpu.ops.pallas_bsr import dense_block_spmv
+
+    g = random_graph(m=300, avg_deg=10, seed=1, symmetric=True)
+    hyb = build_hybrid(g.rowptr, g.colidx, None, num_cols=g.n,
+                       dense_threshold=4)
+    x = np.random.default_rng(0).random(g.n).astype(np.float32)
+    x2d = _pad_operand(jnp.asarray(x), g.n)
+    mb = (g.m + LANES - 1) // LANES
+    y_p = np.asarray(dense_block_spmv(
+        jnp.asarray(hyb.blk), jnp.asarray(hyb.blk_src),
+        jnp.asarray(hyb.blk_dst), jnp.asarray(hyb.blk_first),
+        x2d, mb, interpret=True)).reshape(-1)[:g.m]
+    hyb_dense = hyb._replace(rem=type(hyb.rem)(buckets=()))
+    y_x = np.asarray(spmv_hybrid(hyb_dense, jnp.asarray(x),
+                                 num_rows=g.m))
+    assert np.abs(y_p - y_x).max() < 1e-4
