@@ -73,21 +73,26 @@ def _make_chunk_member(dag):
     """Adjacency-chunk membership: w in N+(v) by comparing w against
     v's 128-wide chunk rows (one vectorized row gather + lane compare
     per chunk — DAG out-degrees are small, so this beats log-degree
-    binary-search probing; the same chunk table drives tc_rotate)."""
+    binary-search probing; the same chunk table drives tc_rotate).
+
+    Returns (member(queries, rows, mem_ctx), mem_ctx) — the table rides
+    as a jit ARGUMENT because baked-in constants blow the remote
+    -compile request size limit at scale 20 (HTTP 413)."""
     table, cstart, nchunk, max_chunks, sent = _chunk_member_data(dag)
 
-    def member(queries, rows):
+    def member(queries, rows, mem_ctx):
         from gardenia_tpu.ops import rowsel
-        base = rowsel.take(cstart, rows)
-        nc = rowsel.take(nchunk, rows)
+        table_, cstart_, nchunk_ = mem_ctx
+        base = rowsel.take(cstart_, rows)
+        nc = rowsel.take(nchunk_, rows)
         hit = jnp.zeros(queries.shape, bool)
         for c in range(max_chunks):
             rowsrc = jnp.where(c < nc, base + c, sent)
-            row = table[rowsrc]                      # (N, 128)
+            row = table_[rowsrc]                     # (N, 128)
             hit = hit | jnp.any(row == queries[:, None], axis=1)
         return hit
 
-    return member
+    return member, (table, cstart, nchunk)
 
 
 def _make_last_level_rotate(dag, n_members: int):
@@ -98,12 +103,13 @@ def _make_last_level_rotate(dag, n_members: int):
     -membership masks, instead of one chunk-row gather per (wedge,
     member) probe (measured ~40 s / 134M wedges on RMAT-16 with the
     probe scheme; rotations are full-width VPU compares)."""
-    table, cstart, nchunk, max_chunks, sent = _chunk_member_data(dag)
+    _, _, _, max_chunks, sent = _chunk_member_data(dag)
 
     @jax.jit
-    def step(members, nvalid):
+    def step(members, nvalid, mem_ctx):
         # members: (n_members, C) embedding columns, padded past nvalid
         from gardenia_tpu.ops import rowsel
+        table, cstart, nchunk = mem_ctx
         C = members.shape[1]
         v1 = members[0]
         base1 = rowsel.take(cstart, v1)
@@ -133,14 +139,16 @@ def _make_last_level_rotate(dag, n_members: int):
     return step
 
 
-def _expand_level(rowptr, colidx, nnz, n_members, count_only, chunk,
-                  member_fn=None):
+def _expand_level(nnz, n_members, count_only, chunk, member_fn=None):
     """Build the jitted chunk expander for embeddings with n_members
-    vertices: wedge j = (embedding e, slot k into N+(v1))."""
+    vertices: wedge j = (embedding e, slot k into N+(v1)).  All graph
+    arrays arrive via the ctx pytree argument (constants would blow the
+    remote-compile request size limit at scale — HTTP 413)."""
 
     @partial(jax.jit, static_argnames=())
-    def step(members, cum, start, total):
+    def step(members, cum, start, total, ctx):
         from gardenia_tpu.ops import rowsel
+        rowptr, colidx, mem_ctx = ctx
         # members: (n_members, N) embedding vertex columns; all indices
         # int32 — callers slice the wedge space under EMB_WEDGE_LIMIT
         j = start + jnp.arange(chunk, dtype=jnp.int32)
@@ -153,8 +161,8 @@ def _expand_level(rowptr, colidx, nnz, n_members, count_only, chunk,
                         jnp.minimum(rowsel.take(rowptr, v1) + k_off,
                                     nnz - 1))
         ok = j < total
-        test = member_fn or (
-            lambda q, r: _member(rowptr, colidx, nnz, q, r))
+        test = (lambda q, r: member_fn(q, r, mem_ctx)) if member_fn \
+            else (lambda q, r: _member(rowptr, colidx, nnz, q, r))
         for i in range(1, n_members):
             vi = rowsel.take(members[i], e)
             ok = ok & test(x, vi)
@@ -212,9 +220,12 @@ def kcl_solver(g, k: int, *, chunk: int = 1 << 18) -> int:
     # profitable while the DAG's widest adjacency stays within a few
     # chunks, else fall back to binary search
     max_chunks = -(-int(deg.max()) // 128) if len(deg) else 1
-    member_fn = dag._dev(("kcl_member_fn",),
-                         lambda: _make_chunk_member(dag)) \
-        if max_chunks <= 8 else None
+    if max_chunks <= 8:
+        member_fn, mem_ctx = dag._dev(("kcl_member_fn",),
+                                      lambda: _make_chunk_member(dag))
+    else:
+        member_fn, mem_ctx = None, None
+    ctx = (rowptr, colidx, mem_ctx)
 
     # level-2 embeddings = DAG edges
     src = np.repeat(np.arange(dag.m, dtype=np.int32), deg)
@@ -239,12 +250,13 @@ def kcl_solver(g, k: int, *, chunk: int = 1 << 18) -> int:
                     msl = np.concatenate(
                         [msl, np.zeros((level, CH - n), np.int32)],
                         axis=1)
-                total += int(last(jnp.asarray(msl), jnp.int32(n)))
+                total += int(last(jnp.asarray(msl), jnp.int32(n),
+                                  mem_ctx))
             return total
         step = dag._dev(
             ("kcl_step", level, count_only, chunk),
-            lambda: _expand_level(rowptr, colidx, nnz, level,
-                                  count_only, chunk, member_fn))
+            lambda: _expand_level(nnz, level, count_only, chunk,
+                                  member_fn))
         outs: List[np.ndarray] = []
         # embedding-range slices keep every device index int32; >2^31
         # wedge spaces just take more slices
@@ -260,11 +272,11 @@ def kcl_solver(g, k: int, *, chunk: int = 1 << 18) -> int:
                 if count_only:
                     total += int(step(members_d, cum_d,
                                       jnp.int32(start),
-                                      jnp.int32(total_wedges)))
+                                      jnp.int32(total_wedges), ctx))
                 else:
                     new_m, n_new = step(members_d, cum_d,
                                         jnp.int32(start),
-                                        jnp.int32(total_wedges))
+                                        jnp.int32(total_wedges), ctx)
                     n_new = int(n_new)
                     if n_new:
                         outs.append(np.asarray(new_m)[:, :n_new])

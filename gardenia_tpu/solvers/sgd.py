@@ -46,27 +46,30 @@ def init_latent(count: int, seed: int = 0) -> np.ndarray:
 
 
 def make_sgd_step(src, dst, ratings, lam, step, num_users, num_items):
-    """Return the jittable training step (also used by the multichip
-    dryrun): (u, i) -> (u', i', rmse)."""
+    """Return (step, data): the jittable training step
+    (u, i, data) -> (u', i', rmse) plus the edge data pytree.  Edge
+    arrays ride as jit ARGUMENTS — baked-in constants blow the remote
+    -compile request size limit at RMAT-20 scale (HTTP 413)."""
     nnz = ratings.shape[0]
+    data = (src, dst, ratings)
 
-    def loss_fn(ulv, ilv):
-        est = jnp.einsum("ek,ek->e", ulv[src], ilv[dst],
+    def loss_fn(ulv, ilv, src_, dst_, ratings_):
+        est = jnp.einsum("ek,ek->e", ulv[src_], ilv[dst_],
                          preferred_element_type=jnp.float32)
-        delta = ratings - est
-        reg = jnp.sum(ulv[src] ** 2) + jnp.sum(ilv[dst] ** 2)
+        delta = ratings_ - est
+        reg = jnp.sum(ulv[src_] ** 2) + jnp.sum(ilv[dst_] ** 2)
         return 0.5 * jnp.sum(delta ** 2) + 0.5 * lam * reg, \
             jnp.sum(delta ** 2)
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
-    def sgd_step(ulv, ilv):
-        (_, sqerr), (gu, gi) = grad_fn(ulv, ilv)
+    def sgd_step(ulv, ilv, data_):
+        (_, sqerr), (gu, gi) = grad_fn(ulv, ilv, *data_)
         ulv = ulv - step * gu
         ilv = ilv - step * gi
         return ulv, ilv, jnp.sqrt(sqerr / nnz)
 
-    return sgd_step
+    return sgd_step, data
 
 
 def make_sgd_epoch(src, dst, ratings, lam, step, num_users, num_items,
@@ -90,12 +93,14 @@ def make_sgd_epoch(src, dst, ratings, lam, step, num_users, num_items,
     order = np.concatenate([order, np.zeros(pad, np.int32)])
     valid = np.concatenate([np.ones(nnz, np.float32),
                             np.zeros(pad, np.float32)])
-    src_b = jnp.asarray(np.asarray(src)[order].reshape(batches, per))
-    dst_b = jnp.asarray(np.asarray(dst)[order].reshape(batches, per))
-    r_b = jnp.asarray(np.asarray(ratings)[order].reshape(batches, per))
-    v_b = jnp.asarray(valid.reshape(batches, per))
+    data = (jnp.asarray(np.asarray(src)[order].reshape(batches, per)),
+            jnp.asarray(np.asarray(dst)[order].reshape(batches, per)),
+            jnp.asarray(np.asarray(ratings)[order].reshape(batches, per)),
+            jnp.asarray(valid.reshape(batches, per)))
 
-    def epoch(ulv, ilv):
+    def epoch(ulv, ilv, data_):
+        src_b, dst_b, r_b, v_b = data_
+
         def body(b, carry):
             ulv, ilv, sq = carry
             s, d, r, v = src_b[b], dst_b[b], r_b[b], v_b[b]
@@ -125,7 +130,7 @@ def make_sgd_epoch(src, dst, ratings, lam, step, num_users, num_items,
         ilv = ilv - step * lam * ilv
         return ulv, ilv, jnp.sqrt(sq / nnz)
 
-    return epoch
+    return epoch, data
 
 
 def sgd_solver(g, lam: float = DEFAULT_LAMBDA, step: float = DEFAULT_STEP,
@@ -153,11 +158,12 @@ def sgd_solver(g, lam: float = DEFAULT_LAMBDA, step: float = DEFAULT_STEP,
             (g.weights if g.weights is not None else np.ones(g.nnz))
             .astype(np.float32))
         if batches:
-            sgd_step = make_sgd_epoch(src, dst, ratings, lam, step,
-                                      m, n, batches)
+            sgd_step, data = make_sgd_epoch(src, dst, ratings, lam,
+                                            step, m, n, batches)
         else:
-            sgd_step = make_sgd_step(src, dst, ratings, lam, step, m, n)
-        return _build_run(sgd_step, max_iters, epsilon)
+            sgd_step, data = make_sgd_step(src, dst, ratings, lam,
+                                           step, m, n)
+        return _build_run(sgd_step, max_iters, epsilon, data)
 
     run = g._dev(("sgd_run", lam, step, max_iters, epsilon, batches),
                  build)
@@ -165,16 +171,16 @@ def sgd_solver(g, lam: float = DEFAULT_LAMBDA, step: float = DEFAULT_STEP,
                jnp.asarray(init_latent(n, seed + 1)))
 
 
-def _build_run(sgd_step, max_iters, epsilon):
+def _build_run(sgd_step, max_iters, epsilon, data):
     @jax.jit
-    def run(ulv, ilv):
+    def run(ulv, ilv, data_):
         def cond(state):
             _, _, _, it, last = state
             return jnp.logical_and(it < max_iters, last >= epsilon)
 
         def body(state):
             ulv, ilv, hist, it, _ = state
-            ulv, ilv, rmse = sgd_step(ulv, ilv)
+            ulv, ilv, rmse = sgd_step(ulv, ilv, data_)
             return ulv, ilv, hist.at[it].set(rmse), it + 1, rmse
 
         hist0 = jnp.full((max_iters,), jnp.inf, jnp.float32)
@@ -182,7 +188,7 @@ def _build_run(sgd_step, max_iters, epsilon):
         ulv, ilv, hist, it, _ = jax.lax.while_loop(cond, body, state)
         return SGDResult(ulv, ilv, hist, it)
 
-    return run
+    return lambda ulv, ilv: run(ulv, ilv, data)
 
 
 def sgd_train_checkpointed(g, checkpointer, total_iters: int,
@@ -199,8 +205,11 @@ def sgd_train_checkpointed(g, checkpointer, total_iters: int,
     ratings = jnp.asarray(
         (g.weights if g.weights is not None else np.ones(g.nnz))
         .astype(np.float32))
-    sgd_step = g._dev(("sgd_step", lam, step), lambda: jax.jit(
-        make_sgd_step(src, dst, ratings, lam, step, m, n)))
+    def mk_step():
+        fn, data = make_sgd_step(src, dst, ratings, lam, step, m, n)
+        jitted = jax.jit(fn)
+        return lambda u, i: jitted(u, i, data)
+    sgd_step = g._dev(("sgd_step", lam, step), mk_step)
 
     template = (init_latent(m, seed), init_latent(n, seed + 1))
     restored = checkpointer.restore(like=template)

@@ -112,8 +112,10 @@ def tc_rotate(g, *, chunk: int = 1 << 13, presorted_dag: bool = False
                 jnp.asarray(cv.reshape(n_alloc, chunk)), n_steps)
 
     def build():
+        # table rides as a jit ARGUMENT: baked-in it blows the remote
+        # -compile request size limit at scale 20 (HTTP 413)
         @jax.jit
-        def run(cu_d, cv_d, n_real):
+        def run(table, cu_d, cv_d, n_real):
             def body(c, partials):
                 A = table[cu_d[c]]                     # (chunk, 128)
                 B = table[cv_d[c]]
@@ -152,7 +154,7 @@ def tc_rotate(g, *, chunk: int = 1 << 13, presorted_dag: bool = False
     if grand_total <= PAIR_SLICE_LIMIT:
         cu_d, cv_d, n_steps = dag._dev(("tc_rotate_data", chunk),
                                        lambda: pack(0, dag.nnz))
-        out = run(cu_d, cv_d, jnp.int32(n_steps))
+        out = run(table, cu_d, cv_d, jnp.int32(n_steps))
         return int(np.asarray(out).astype(np.int64).sum())
     total = 0
     e_lo = 0
@@ -162,7 +164,7 @@ def tc_rotate(g, *, chunk: int = 1 << 13, presorted_dag: bool = False
                                    side="right"))
         e_hi = max(e_hi, e_lo + 1)
         cu_d, cv_d, n_steps = pack(e_lo, e_hi)
-        out = run(cu_d, cv_d, jnp.int32(n_steps))
+        out = run(table, cu_d, cv_d, jnp.int32(n_steps))
         total += int(np.asarray(out).astype(np.int64).sum())
         e_lo = e_hi
     return total
