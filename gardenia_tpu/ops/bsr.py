@@ -114,23 +114,23 @@ def build_hybrid(rowptr: np.ndarray,
         blk_src_h = (dkeys % sb_span).astype(np.int32)
         bofe = np.searchsorted(dkeys, key_s[edge_dense])  # block of edge
         eo = order[edge_dense]
-        # chunked bincount fill: bofe is non-decreasing (edges sorted by
-        # block key), so slice block ranges and bincount flat cell
-        # indices — ~20x faster than np.add.at and casts per chunk so
-        # the f32 staging array never exceeds ~1 GB
-        blk_h = np.empty((nB, LANES, LANES), blk_dtype)
+        # sort-by-cell fill: group duplicate cells with one argsort +
+        # add.reduceat, then a single fancy store into the bf16|f32
+        # staging array — no per-chunk gigabyte float64 bincounts
         cells = LANES * LANES
-        flat_local = (dr[eo].astype(np.int64) * LANES + sr[eo])
-        CH = 8192
-        for lo in range(0, nB, CH):
-            hi = min(lo + CH, nB)
-            e0 = np.searchsorted(bofe, lo, side="left")
-            e1 = np.searchsorted(bofe, hi, side="left")
-            idx = (bofe[e0:e1] - lo) * cells + flat_local[e0:e1]
-            chunk = np.bincount(idx, weights=w[eo][e0:e1],
-                                minlength=(hi - lo) * cells)
-            blk_h[lo:hi] = chunk.reshape(hi - lo, LANES, LANES) \
-                .astype(blk_dtype)
+        gidx = bofe * cells + (dr[eo].astype(np.int64) * LANES + sr[eo])
+        o3 = np.argsort(gidx, kind="stable")
+        gi = gidx[o3]
+        boundary = np.empty(len(gi), bool)
+        boundary[0] = True
+        np.not_equal(gi[1:], gi[:-1], out=boundary[1:])
+        starts = np.flatnonzero(boundary)
+        if weights is None and len(starts) == len(gi):
+            vals = np.ones(len(starts), np.float32)   # all cells unique
+        else:
+            vals = np.add.reduceat(w[eo][o3], starts)
+        blk_h = np.zeros((nB, LANES, LANES), blk_dtype)
+        blk_h.reshape(-1)[gi[starts]] = vals.astype(blk_dtype)
     else:
         blk_dst_h = np.zeros(0, np.int32)
         blk_src_h = np.zeros(0, np.int32)
