@@ -34,22 +34,39 @@ class BCResult(NamedTuple):
     iterations: jax.Array  # i32 (forward levels)
 
 
-def bc_batched(g, sources) -> BCResult:
+def bc_batched(g, sources, *, layout: str = "auto") -> BCResult:
     """Batched multi-source Brandes: all sources traverse SIMULTANEOUSLY
-    in the lane dimension — state is (m, S), per-edge gathers fetch whole
-    per-source rows (ops/spmv.spmv_batched), so S sources cost roughly
-    one traversal.  Replaces the reference's sequential num_iters loop
-    (src/bc/omp_base.cc:69) with the TPU-natural batding."""
+    in the lane dimension — state is (m, S), so S sources cost roughly
+    one traversal.  On TPU both passes ride the batched hybrid layout
+    (ops/bsr.spmv_hybrid_batched): one pass over the dense 128x128
+    blocks serves all S sources on the MXU (split-bf16 exact products —
+    sigma path counts and delta ratios need accuracy); CPU/testing uses
+    the per-edge COO path.  Replaces the reference's sequential
+    num_iters loop (src/bc/omp_base.cc:69) with the TPU-natural
+    batching."""
+    from gardenia_tpu.solvers.bfs import _resolve_layout
+    layout = _resolve_layout(layout)
     m = g.m
     sources = jnp.asarray(np.asarray(sources, np.int32))
     S = sources.shape[0]
-    in_dst, in_src = _coo_sorted(g, reverse=True)
-    out_src, out_dst = _coo_sorted(g, reverse=False)
     from gardenia_tpu.ops.spmv import spmv_batched
 
     def build():
-        @jax.jit
-        def run(sources):
+        if layout == "hybrid":
+            from gardenia_tpu.core.relabel import relabeled
+            rel = relabeled(g)
+            hyb_in = rel.graph.hybrid(reverse=True)
+            hyb_out = rel.graph.hybrid(reverse=False)
+            new_of_old = jnp.asarray(rel.new_of_old)
+        else:
+            hyb_in = hyb_out = new_of_old = None
+            in_dst, in_src = _coo_sorted(g, reverse=True)
+            out_src, out_dst = _coo_sorted(g, reverse=False)
+
+        def run(sources, hyb_in_, hyb_out_, new_of_old_):
+            from gardenia_tpu.ops import rowsel
+            if new_of_old_ is not None:
+                sources = rowsel.take(new_of_old_, sources)
             j = jnp.arange(S, dtype=jnp.int32)
             depth0 = jnp.full((m, S), INF, jnp.int32) \
                 .at[sources, j].set(0)
@@ -57,10 +74,16 @@ def bc_batched(g, sources) -> BCResult:
                 .at[sources, j].set(1.0)
 
             def pull_in(x):
-                return spmv_batched(in_dst, in_src, x, num_rows=m)
+                if hyb_in_ is None:
+                    return spmv_batched(in_dst, in_src, x, num_rows=m)
+                from gardenia_tpu.ops.bsr import spmv_hybrid_batched
+                return spmv_hybrid_batched(hyb_in_, x, num_rows=m)
 
             def pull_out(x):
-                return spmv_batched(out_src, out_dst, x, num_rows=m)
+                if hyb_out_ is None:
+                    return spmv_batched(out_src, out_dst, x, num_rows=m)
+                from gardenia_tpu.ops.bsr import spmv_hybrid_batched
+                return spmv_hybrid_batched(hyb_out_, x, num_rows=m)
 
             def fcond(state):
                 _, _, alive, _ = state
@@ -99,12 +122,18 @@ def bc_batched(g, sources) -> BCResult:
             delta, _ = jax.lax.while_loop(
                 bcond, bbody, (jnp.zeros((m, S), jnp.float32), max_d - 1))
             scores = jnp.sum(delta, axis=1)
+            if new_of_old_ is not None:
+                scores = rowsel.take(scores, new_of_old_)
             biggest = jnp.maximum(jnp.max(scores), 1e-30)
             return BCResult(scores / biggest, max_d)
 
-        return run
+        if layout == "hybrid":
+            jitted = jax.jit(run)
+            return lambda s: jitted(s, hyb_in, hyb_out, new_of_old)
+        jitted = jax.jit(lambda s: run(s, None, None, None))
+        return jitted
 
-    run = g._dev(("bc_batched_run", S), build)
+    run = g._dev(("bc_batched_run", S, layout), build)
     return run(sources)
 
 

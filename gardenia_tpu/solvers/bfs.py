@@ -288,23 +288,43 @@ def bfs_do_fused(g, source: int, *, layout: str = "auto") -> BFSResult:
     return run(jnp.int32(source))
 
 
-def bfs_multi_source(g, sources) -> BFSResult:
+def bfs_multi_source(g, sources, *, layout: str = "auto") -> BFSResult:
     """Batched multi-source BFS: S sources traverse simultaneously in
-    the lane dimension (state (m, S)); per-edge gathers fetch whole
-    per-source rows so the batch costs about one traversal
-    (ops/spmv.spmv_batched — the TPU-native take on the reference's
-    hybrid multi-source variants).  Returns dist with shape (m, S)."""
+    the lane dimension (state (m, S)).  On TPU the sweep rides the
+    batched hybrid layout (ops/bsr.spmv_hybrid_batched): one pass over
+    the dense 128x128 blocks serves all S sources on the MXU, and only
+    the sparse remainder pays per-edge row gathers (which fetch whole
+    per-source rows — 100% useful bytes).  CPU/testing falls back to
+    the per-edge COO path (ops/spmv.spmv_batched).  Returns dist with
+    shape (m, S) — the TPU-native take on the reference's multi-source
+    hybrid variants (src/bfs hybrid_*)."""
     from gardenia_tpu.ops.spmv import spmv_batched
     from gardenia_tpu.solvers.bc import _coo_sorted
 
+    layout = _resolve_layout(layout)
     m = g.m
     sources = jnp.asarray(np.asarray(sources, np.int32))
     S = sources.shape[0]
-    in_dst, in_src = _coo_sorted(g, reverse=True)
 
     def build():
-        @jax.jit
-        def run(sources):
+        if layout == "hybrid":
+            gg, hyb, new_of_old = _hybrid_ctx(g)
+        else:
+            gg, hyb, new_of_old = g, None, None
+            in_dst, in_src = _coo_sorted(g, reverse=True)
+
+        def sweep(hyb_, frontier):
+            if hyb_ is None:
+                return spmv_batched(in_dst, in_src, frontier, num_rows=m)
+            from gardenia_tpu.ops.bsr import spmv_hybrid_batched
+            # counting mode: only cnt > 0 is consumed, bf16 suffices
+            return spmv_hybrid_batched(hyb_, frontier, num_rows=m,
+                                       exact=False)
+
+        def run(sources, hyb_, new_of_old_):
+            from gardenia_tpu.ops import rowsel
+            if new_of_old_ is not None:
+                sources = rowsel.take(new_of_old_, sources)
             j = jnp.arange(S, dtype=jnp.int32)
             dist0 = jnp.full((m, S), INF, jnp.int32).at[sources, j].set(0)
 
@@ -315,17 +335,24 @@ def bfs_multi_source(g, sources) -> BFSResult:
             def body(state):
                 dist, _, d = state
                 frontier = (dist == d).astype(jnp.float32)
-                cnt = spmv_batched(in_dst, in_src, frontier, num_rows=m)
+                cnt = sweep(hyb_, frontier)
                 newly = (cnt > 0) & (dist == INF)
                 dist = jnp.where(newly, d + 1, dist)
                 return dist, jnp.any(newly), d + 1
 
             dist, _, depth = jax.lax.while_loop(
                 cond, body, (dist0, jnp.bool_(True), jnp.int32(0)))
+            if new_of_old_ is not None:
+                dist = dist[new_of_old_]        # (m, S) row gather
             return BFSResult(dist, depth)
-        return run
 
-    run = g._dev(("msbfs_run", S), build)
+        if layout == "hybrid":
+            jitted = jax.jit(run)
+            return lambda s: jitted(s, hyb, new_of_old)
+        jitted = jax.jit(lambda s: run(s, None, None))
+        return jitted
+
+    run = g._dev(("msbfs_run", S, layout), build)
     return run(sources)
 
 

@@ -78,6 +78,29 @@ def test_msbfs_matches_per_source(S):
                                       oracles.bfs_serial(g, int(s)))
 
 
+@pytest.mark.parametrize("S", [4, 16])
+def test_bc_batched_hybrid_layout(S):
+    """The TPU production path (batched hybrid blocks + COO remainder),
+    forced on CPU, matches the per-source oracle."""
+    g = random_graph(m=90, avg_deg=5, seed=3, symmetric=True)
+    sources = np.arange(S)
+    res = bc_batched(g, sources, layout="hybrid")
+    expect = bc_multi_oracle(g, sources)
+    np.testing.assert_allclose(np.asarray(res.scores), expect,
+                               atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("S", [3, 9])
+def test_msbfs_hybrid_layout(S):
+    g = random_graph(m=130, avg_deg=4, seed=6, symmetric=True)
+    sources = (np.arange(S) * 7) % g.m
+    res = bfs_multi_source(g, sources, layout="hybrid")
+    dist = np.asarray(res.dist)
+    for j, s in enumerate(sources):
+        np.testing.assert_array_equal(dist[:, j],
+                                      oracles.bfs_serial(g, int(s)))
+
+
 def test_msbfs_directed():
     g = random_graph(m=80, avg_deg=2, seed=8)
     sources = np.array([0, 5, 11])

@@ -94,6 +94,61 @@ def test_pr_hybrid_matches_ell_and_delta_converges():
         assert int(r_d.iterations) <= int(r_ell.iterations) + 2
 
 
+@pytest.mark.parametrize("m,deg,weighted,thr,S,exact", [
+    (300, 10, False, 4, 8, True),
+    (300, 10, True, 8, 16, True),
+    (513, 3, False, 2, 8, False),    # bf16 single-pass (counting mode)
+    (5, 1, False, 64, 4, True),      # remainder only
+])
+def test_spmv_hybrid_batched_matches_oracle(m, deg, weighted, thr, S,
+                                            exact):
+    from gardenia_tpu.ops.bsr import spmv_hybrid_batched
+    rng = np.random.default_rng(m + S)
+    g = random_graph(m=m, avg_deg=deg, seed=m, weighted=weighted,
+                     symmetric=True)
+    w = None if g.weights is None else np.asarray(g.weights, np.float32)
+    hyb = build_hybrid(g.rowptr, g.colidx, w, num_cols=g.n,
+                       dense_threshold=thr)
+    x2d = rng.random((g.n, S)).astype(np.float32)
+    y = np.asarray(spmv_hybrid_batched(hyb, x2d, num_rows=g.m,
+                                       exact=exact))
+    exp = np.stack([_oracle_spmv(g, x2d[:, s], w) for s in range(S)],
+                   axis=1)
+    scale = max(1e-9, float(np.abs(exp).max()))
+    tol = 2e-4 if exact or weighted else 1e-2   # bf16 mode ~2^-8
+    assert y.shape == (g.m, S)
+    assert np.abs(y - exp).max() / scale < tol
+
+
+def test_pallas_dense_block_spmv_batched_interpret():
+    """Batched Pallas kernel == the XLA einsum path on the dense part,
+    both split (exact) and plain bf16 operands."""
+    import jax.numpy as jnp
+    from gardenia_tpu.ops.bsr import (LANES, _pad_operand_batched,
+                                      spmv_hybrid_batched)
+    from gardenia_tpu.ops.pallas_bsr import dense_block_spmv_batched
+
+    S = 8
+    g = random_graph(m=300, avg_deg=10, seed=1, symmetric=True)
+    hyb = build_hybrid(g.rowptr, g.colidx, None, num_cols=g.n,
+                       dense_threshold=4)
+    x2d = np.random.default_rng(0).random((g.n, S)).astype(np.float32)
+    mb = (g.m + LANES - 1) // LANES
+    hyb_dense = hyb._replace(rem=type(hyb.rem)(buckets=()),
+                             rem_dst=hyb.rem_dst[:0],
+                             rem_src=hyb.rem_src[:0])
+    for exact in (True, False):
+        x3d = _pad_operand_batched(jnp.asarray(x2d), g.n, exact=exact)
+        y_p = np.asarray(dense_block_spmv_batched(
+            jnp.asarray(hyb.blk), jnp.asarray(hyb.blk_src),
+            jnp.asarray(hyb.blk_dst), jnp.asarray(hyb.blk_first),
+            x3d, mb, split=exact, interpret=True)
+        ).reshape(-1, S)[:g.m]
+        y_x = np.asarray(spmv_hybrid_batched(hyb_dense, jnp.asarray(x2d),
+                                             num_rows=g.m, exact=exact))
+        assert np.abs(y_p - y_x).max() < 1e-4
+
+
 def test_spmv_solver_hybrid_variant():
     from gardenia_tpu.solvers.spmv import spmv_solver
     g = random_graph(m=200, avg_deg=7, seed=11, weighted=True,

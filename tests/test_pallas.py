@@ -62,3 +62,26 @@ def test_pallas_dense_block_spmv_interpret():
     y_x = np.asarray(spmv_hybrid(hyb_dense, jnp.asarray(x),
                                  num_rows=g.m))
     assert np.abs(y_p - y_x).max() < 1e-4
+
+
+def test_spmv_hybrid_pallas_s1_routing():
+    """use_pallas single-vector routes through the batched kernel at
+    S=1 (legal (1,128,1) blocks); interpret mode vs the XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+    from gardenia_tpu.ops.bsr import build_hybrid, spmv_hybrid
+
+    for weighted in (False, True):
+        g = random_graph(m=300, avg_deg=10, seed=2, symmetric=True,
+                         weighted=weighted)
+        w = None if g.weights is None else np.asarray(g.weights,
+                                                      np.float32)
+        hyb = build_hybrid(g.rowptr, g.colidx, w, num_cols=g.n,
+                           dense_threshold=4)
+        x = np.random.default_rng(1).random(g.n).astype(np.float32)
+        y_x = np.asarray(spmv_hybrid(hyb, jnp.asarray(x), num_rows=g.m,
+                                     use_pallas=False))
+        with pltpu.force_tpu_interpret_mode():
+            y_p = np.asarray(spmv_hybrid(hyb, jnp.asarray(x),
+                                         num_rows=g.m, use_pallas=True))
+        scale = max(1e-9, float(np.abs(y_x).max()))
+        assert np.abs(y_p - y_x).max() / scale < 1e-4
