@@ -364,20 +364,23 @@ def main(argv=None):
         print(f"Usage: python -m gardenia_tpu.cli <kernel> <filetype> "
               f"<graph-prefix> [kernel args...]\nkernels: {names}")
         return 1
-    kernel, rest = argv[0], argv[1:]
+    kernel = argv[0]
+    # flags may appear anywhere among the positional args (the
+    # reference binaries are purely positional; --flags are ours)
+    flags = [a for a in argv[1:] if a.startswith("--")]
+    rest = [a for a in argv[1:] if not a.startswith("--")]
     variant = None
-    while rest and rest[0].startswith("--"):
-        if rest[0].startswith("--variant="):
-            variant = rest[0].split("=", 1)[1]
-        elif rest[0].startswith("--device="):
+    for flag in flags:
+        if flag.startswith("--variant="):
+            variant = flag.split("=", 1)[1]
+        elif flag.startswith("--device="):
             # e.g. --device=cpu to bypass the axon TPU tunnel
             import jax
-            jax.config.update("jax_platforms", rest[0].split("=", 1)[1])
-        elif rest[0].startswith("--dist="):
+            jax.config.update("jax_platforms", flag.split("=", 1)[1])
+        elif flag.startswith("--dist="):
             # multichip run over an n-device mesh (falls back to n
             # virtual CPU devices when fewer real chips are attached)
-            n = int(rest[0].split("=", 1)[1])
-            import os
+            n = int(flag.split("=", 1)[1])
             import jax
             if jax.device_count() < n:
                 print(f"(only {jax.device_count()} device(s); re-run "
@@ -385,8 +388,10 @@ def main(argv=None):
                       f"device_count={n} and --device=cpu for a "
                       f"virtual mesh)")
                 return 1
-            return _run_dist(kernel, n, rest[1:])
-        rest = rest[1:]
+            return _run_dist(kernel, n, rest)
+        else:
+            print(f"unknown flag {flag!r}")
+            return 1
     if variant:
         KERNELS[kernel](rest, variant=variant)
     else:

@@ -8,38 +8,37 @@ instead of segmenting CSR ranges per SM, edges are grouped by
 the cheapest of two layouts:
 
   * dense block  — pairs with >= `dense_threshold` edges become one
-    128x128 bfloat16 block (exact for 0/1 adjacency; f32 when weighted)
-    and ride the MXU as a batched matmul.  Operand traffic: 32 KB per
-    block regardless of edge count, streamed sequentially at full HBM
-    bandwidth.
+    128x128 block (int8 edge counts when unweighted — half the HBM
+    stream of bf16, upcast at use; f32 when weighted) and ride the MXU
+    as a batched matmul.  Operand traffic: 16-32 KB per block
+    regardless of edge count, streamed sequentially at HBM bandwidth.
   * ELL remainder — sparser pairs fall back to the degree-bucketed slab
     layout (ops/ell.py) with rowsel gathers (512 B/edge, ~2.2 ns/row
-    measured).  A one-hot tile layout (x row gathered once per tile,
-    lanes selected by fused compares) was prototyped and measured 5x
-    WORSE on v5e: XLA materializes the (T, W, 128) broadcast compare
-    instead of fusing it into the reduction, so the "shared" gather
-    costs 15 GB of intermediate traffic.  Revisit only as a hand-fused
-    Pallas kernel.
+    measured), plus a dst-sorted COO copy for the batched multi-source
+    path (whole-row gathers are 100% useful bytes at S lanes).
 
-Dense partials land in a (m/128, 128) output via a sorted row-segment
-sum (vectorized on TPU).  On RMAT-20 at threshold 16 the dense part
-covers 76% of edges at 7.7 GB streamed near peak HBM bandwidth
-(~600 GB/s measured through the einsum) and the remainder 24% pays the
-gather path — ~3.5x less wall-clock per iteration than all-rowsel.
+The dense blocks are dst-sorted, padded so every destination row is
+visited, and SPLIT INTO CHUNKS cut at dst-row boundaries: the Pallas
+kernels (ops/pallas_bsr.py) receive per-block metadata through
+scalar-prefetch SMEM, whose ~1 MB capacity bounds a single grid to
+~32K blocks (RMAT-20 has 239K).  Each chunk computes its own row range
+completely, so chunk outputs concatenate — no cross-chunk accumulation.
+Chunk row spans are STATIC pytree aux data (they define kernel shapes).
 
 Block locality requires hub clustering in the vertex ids — see
 gardenia_tpu/core/relabel.py (degree-sorted relabeling), without which
 scale-free graphs have ~1.45 edges per pair and the layout degenerates.
 
-Numerics: the dense-block matmul splits the f32 operand into
-hi + lo bfloat16 halves (one extra lane in the RHS, same A stream), so
-products are exact to ~2^-16 relative — well inside PageRank's 1e-4 L1
-tolerance and the SpMV test tolerances.
+Numerics: dense-block matmuls split the f32 operand into hi + lo
+bfloat16 halves (extra RHS lanes, same A stream), so products are exact
+to ~2^-16 relative — inside PageRank's 1e-4 L1 tolerance and the SpMV
+test tolerances; weighted (f32-block) matmuls keep A exact and split
+only the operand.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -49,33 +48,54 @@ import jax.numpy as jnp
 LANES = 128
 LANE_BITS = 7
 
+# scalar-prefetch metadata lives in SMEM (~1 MB on v5e); 3 x i32 per
+# block -> stay well under it (measured: 240K blocks = 2.75 MB FAILS)
+CHUNK_BLOCKS = 32768
+
+
+@jax.tree_util.register_pytree_node_class
+class DenseChunk:
+    """One dst-row range of the dense block stream.  `rows` (static)
+    is the chunk's destination-row count; `dst` is RELATIVE to the
+    chunk's first row.  Every row in the span has >= 1 block (zero
+    blocks pad the gaps) and `first` marks each row's first block."""
+
+    def __init__(self, blk, src, dst, first, rows: int):
+        self.blk = blk        # int8|bf16|f32 [B,128,128]
+        self.src = src        # i32[B] source block column
+        self.dst = dst        # i32[B] dst block row - row_base, sorted
+        self.first = first    # i32[B] 1 on each dst row's first block
+        self.rows = int(rows)
+
+    def tree_flatten(self):
+        return (self.blk, self.src, self.dst, self.first), self.rows
+
+    @classmethod
+    def tree_unflatten(cls, rows, children):
+        return cls(*children, rows=rows)
+
 
 class HybridMatrix(NamedTuple):
-    """Device (or host) arrays of the hybrid layout.  B dense blocks +
-    an ELL-slab remainder (possibly empty: B==0 / rem.buckets==()).
-    Dense blocks are dst-sorted with every destination row visited at
-    least once (zero blocks pad the gaps) and carry first-visit flags —
-    the layout the Pallas kernels (ops/pallas_bsr.py) consume; the XLA
-    segment-sum path uses the same arrays.  The remainder is stored
-    twice: ELL slabs for single-vector rowsel sweeps, and dst-sorted COO
-    for the batched multi-source path (whole-row gathers)."""
-    blk: jax.Array        # bf16|f32 [B,128,128]; blk[b,i,j] = A[db*128+i, sb*128+j]
-    blk_src: jax.Array    # i32[B] source block column
-    blk_dst: jax.Array    # i32[B] destination block row (non-decreasing)
-    blk_first: jax.Array  # i32[B] 1 on the first block of each dst row
+    """Device (or host) arrays of the hybrid layout: dense chunks plus
+    an ELL-slab + dst-sorted-COO remainder (either may be empty)."""
+    dense: Tuple[DenseChunk, ...]
     rem: object           # ops.ell.EllMatrix over the remainder edges
     rem_dst: jax.Array    # i32[R] remainder dst, NON-DECREASING
     rem_src: jax.Array    # i32[R] remainder src
     rem_w: object         # f32[R] remainder weights, or None (unweighted)
 
+    @property
+    def num_blocks(self) -> int:
+        return sum(c.blk.shape[0] for c in self.dense)
 
-# Measured on v5e (PERFORMANCE.md): the single-vector Pallas kernel
-# loses to the XLA einsum (grid-step overhead ~260 ns/block dwarfs the
-# 32 KB stream), while the BATCHED kernel wins ~2x over the batched
-# einsum (the VMEM-resident output row never spills the (128, S)
-# partials to HBM).  The XLA einsum+segment-sum paths are the
-# always-available fallbacks (CPU tests, virtual meshes).
-USE_PALLAS_DENSE = False
+
+# Measured on v5e (PERFORMANCE.md): the Pallas dense kernels win over
+# the XLA einsum+segment-sum lowering (the VMEM-resident output row
+# never spills (128, S) partials to HBM, and the operand row arrives
+# via a scalar-prefetched index map instead of a materialized gather).
+# The XLA paths remain the always-available fallbacks (CPU tests,
+# virtual meshes).
+USE_PALLAS_DENSE = True
 USE_PALLAS_BATCHED = True
 
 
@@ -126,10 +146,11 @@ def build_hybrid(rowptr: np.ndarray,
     except Exception:                                # pragma: no cover
         blk_dtype = np.float32
 
-    # ---- dense blocks ----------------------------------------------------
+    # ---- dense blocks ------------------------------------------------------
     nB = int(dense_sel.sum())
     gid = np.searchsorted(uniq, key_s)               # group of each edge
     edge_dense = dense_sel[gid]
+    mb = (num_rows + LANES - 1) // LANES
     if nB:
         dkeys = uniq[dense_sel]
         blk_dst_h = (dkeys // sb_span).astype(np.int32)
@@ -137,8 +158,8 @@ def build_hybrid(rowptr: np.ndarray,
         bofe = np.searchsorted(dkeys, key_s[edge_dense])  # block of edge
         eo = order[edge_dense]
         # sort-by-cell fill: group duplicate cells with one argsort +
-        # add.reduceat, then a single fancy store into the bf16|f32
-        # staging array — no per-chunk gigabyte float64 bincounts
+        # add.reduceat, then a single fancy store into the staging
+        # array — no per-chunk gigabyte float64 bincounts
         cells = LANES * LANES
         gidx = bofe * cells + (dr[eo].astype(np.int64) * LANES + sr[eo])
         o3 = np.argsort(gidx, kind="stable")
@@ -157,22 +178,17 @@ def build_hybrid(rowptr: np.ndarray,
             blk_dtype = np.dtype("bfloat16")          # counts overflow int8
         blk_h = np.zeros((nB, LANES, LANES), blk_dtype)
         blk_h.reshape(-1)[gi[starts]] = vals.astype(blk_dtype)
-    else:
-        blk_dst_h = np.zeros(0, np.int32)
-        blk_src_h = np.zeros(0, np.int32)
-        blk_h = np.zeros((0, LANES, LANES), blk_dtype)
 
-    # pallas-ready dense layout: every dst row visited, first flags
-    if nB:
+        # pallas-ready dense layout: every dst row visited, first flags
         from gardenia_tpu.ops.pallas_bsr import pad_blocks_for_pallas
-        mb = (num_rows + LANES - 1) // LANES
         blk_src_h, blk_dst_h, first_h, order2, pad_blk = \
             pad_blocks_for_pallas(blk_src_h, blk_dst_h, mb, blk_dtype)
         blk_h = np.concatenate([blk_h, pad_blk], axis=0)[order2]
+        dense = _cut_chunks(blk_h, blk_src_h, blk_dst_h, first_h, mb)
     else:
-        first_h = np.zeros(0, np.int32)
+        dense = ()
 
-    # ---- ELL remainder ----------------------------------------------------
+    # ---- ELL remainder -----------------------------------------------------
     eo = order[~edge_dense]
     rs, rd, rw = src[eo], dst[eo], w[eo]
     ro = np.lexsort((rs, rd))
@@ -181,14 +197,78 @@ def build_hybrid(rowptr: np.ndarray,
         num_rows, rd, rs, rw if weights is not None else None,
         sorted_by_src=True)
     rem = build_ell(rem_rp, rem_ci, rem_wc, num_cols=num_cols)
-    return HybridMatrix(blk_h, blk_src_h, blk_dst_h, first_h, rem,
-                        rd, rs, rw if weights is not None else None)
+    return HybridMatrix(dense, rem, rd, rs,
+                        rw if weights is not None else None)
+
+
+def _cut_chunks(blk, src, dst, first, mb: int,
+                chunk_blocks: Optional[int] = None
+                ) -> Tuple[DenseChunk, ...]:
+    """Split the dst-sorted padded block stream at dst-row boundaries
+    into runs of <= chunk_blocks (SMEM budget for scalar prefetch).
+    Each chunk's rows are complete, so outputs concatenate.  A single
+    row with more blocks than the budget becomes its own (oversized)
+    chunk — only possible when num_cols/128 > chunk_blocks."""
+    if chunk_blocks is None:
+        chunk_blocks = CHUNK_BLOCKS
+    nB = len(dst)
+    chunks = []
+    lo = 0
+    row_lo = 0
+    while lo < nB:
+        hi = min(lo + chunk_blocks, nB)
+        if hi < nB:
+            # retreat to the first block of dst[hi]'s row so the row
+            # stays whole; if the row itself starts at/before lo, it is
+            # oversized — advance to its end instead
+            cut_row = dst[hi]
+            first_of_row = int(np.searchsorted(dst, cut_row, side="left"))
+            if first_of_row > lo:
+                hi = first_of_row
+                row_hi = int(cut_row)
+            else:
+                hi = int(np.searchsorted(dst, cut_row, side="right"))
+                row_hi = int(cut_row) + 1
+        else:
+            row_hi = mb
+        chunks.append(DenseChunk(
+            blk[lo:hi], src[lo:hi],
+            (dst[lo:hi] - row_lo).astype(np.int32),
+            np.ascontiguousarray(first[lo:hi]), rows=row_hi - row_lo))
+        lo, row_lo = hi, row_hi
+    return tuple(chunks)
 
 
 def _pad_operand(x: jax.Array, num_cols: int) -> jax.Array:
     qx = (num_cols + LANES - 1) // LANES
     flat = jnp.zeros((qx * LANES,), jnp.float32)
     return flat.at[:num_cols].set(x.astype(jnp.float32)).reshape(qx, LANES)
+
+
+def _dense_apply(dense: Tuple[DenseChunk, ...], x3d: jax.Array, S: int,
+                 split: bool, use_pallas: bool) -> jax.Array:
+    """(sum of chunk results stacked by rows) — (mb, 128, S) f32."""
+    parts = []
+    for c in dense:
+        a = c.blk
+        if use_pallas:
+            from gardenia_tpu.ops.pallas_bsr import dense_block_spmv_batched
+            yc = dense_block_spmv_batched(a, c.src, c.dst, c.first,
+                                          x3d, c.rows, split=split)
+        else:
+            if a.dtype == jnp.int8:
+                a = a.astype(jnp.bfloat16)
+            xg = x3d[c.src]                            # (B,128,K)
+            if a.dtype == jnp.float32:
+                xg = xg.astype(jnp.float32)
+            part = jnp.einsum("bij,bjk->bik", a, xg,
+                              preferred_element_type=jnp.float32)
+            if split:
+                part = part[..., :S] + part[..., S:]
+            yc = jax.ops.segment_sum(part, c.dst, num_segments=c.rows,
+                                     indices_are_sorted=True)
+        parts.append(yc)
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
 def spmv_hybrid(hyb: HybridMatrix, x: jax.Array, *, num_rows: int,
@@ -199,59 +279,33 @@ def spmv_hybrid(hyb: HybridMatrix, x: jax.Array, *, num_rows: int,
     Equivalent to spmv_ell(..., F32_PLUS_TIMES) on the same matrix; this
     is the bandwidth-optimal production path for PR/SpMV-class kernels.
     use_pallas selects the hand-fused dense-block kernel
-    (ops/pallas_bsr.py) over the XLA einsum+segment-sum lowering
-    (None -> module default USE_PALLAS_DENSE).
+    (ops/pallas_bsr.py, via the batched kernel at S=1 — legal
+    (1,128,1) blocks, no dynamic sublane indexing) over the XLA
+    einsum+segment-sum lowering (None -> module default).
     """
     if use_pallas is None:
         use_pallas = USE_PALLAS_DENSE and _pallas_ok()
     num_cols = int(x.shape[0])
     x2d = _pad_operand(x, num_cols)
     mb = (num_rows + LANES - 1) // LANES
-    y2d = jnp.zeros((mb, LANES), jnp.float32)
 
-    nB = hyb.blk.shape[0]
-    if nB and use_pallas:
-        # the batched kernel at S=1: (1,128,1)/(1,128,2) blocks are
-        # legal (last dim equals the full array dim) and the BlockSpec
-        # pipeline streams x/y rows without dynamic sublane indexing —
-        # measured ~2x over the dynamic-index single-vector kernel
-        from gardenia_tpu.ops.pallas_bsr import dense_block_spmv_batched
-        a = hyb.blk
+    if hyb.dense:
+        qx = x2d.shape[0]
+        f32_blocks = hyb.dense[0].blk.dtype == jnp.float32
         flat = x2d.reshape(-1, 1)
-        qx = flat.shape[0] // LANES
-        if a.dtype == jnp.float32:
-            x3d = flat.reshape(qx, LANES, 1)
+        if f32_blocks:
+            x3d = flat.reshape(qx, LANES, 1)           # weighted: exact
             split = False
         else:
             hi = flat.astype(jnp.bfloat16)
             lo = (flat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             x3d = jnp.concatenate([hi, lo], axis=1).reshape(qx, LANES, 2)
             split = True
-        y2d = dense_block_spmv_batched(
-            a, hyb.blk_src, hyb.blk_dst, hyb.blk_first, x3d, mb,
-            split=split)[..., 0]
-    elif nB:
-        xg = x2d[hyb.blk_src]                          # (B,128) row gather
-        # split-f32 operand: hi + lo bf16 halves share one pass over A
-        x_hi = xg.astype(jnp.bfloat16)
-        x_lo = (xg - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        xs = jnp.stack([x_hi, x_lo], axis=-1)          # (B,128,2)
-        a = hyb.blk
-        if a.dtype == jnp.int8:
-            a = a.astype(jnp.bfloat16)    # int8 stream, bf16 MXU operand
-        if a.dtype == jnp.float32:
-            # weighted path: keep A exact, split only the operand
-            part = jnp.einsum("bij,bjk->bik", a, xs.astype(jnp.float32),
-                              preferred_element_type=jnp.float32)
-        else:
-            part = jnp.einsum("bij,bjk->bik", a, xs,
-                              preferred_element_type=jnp.float32)
-        partial = part[..., 0] + part[..., 1]          # (B,128)
-        y2d = y2d + jax.ops.segment_sum(partial, hyb.blk_dst,
-                                        num_segments=mb,
-                                        indices_are_sorted=True)
+        y2d = _dense_apply(hyb.dense, x3d, 1, split, use_pallas)[..., 0]
+        y = y2d.reshape(-1)[:num_rows]
+    else:
+        y = jnp.zeros((num_rows,), jnp.float32)
 
-    y = y2d.reshape(-1)[:num_rows]
     if hyb.rem.buckets:
         from gardenia_tpu.ops.semiring import F32_PLUS_TIMES
         from gardenia_tpu.ops.spmv import spmv_ell
@@ -300,34 +354,18 @@ def spmv_hybrid_batched(hyb: HybridMatrix, x2d: jax.Array, *,
     if use_pallas is None:
         use_pallas = USE_PALLAS_BATCHED and _pallas_ok()
     n, S = x2d.shape
-    mb = (num_rows + LANES - 1) // LANES
-    y3d = jnp.zeros((mb, LANES, S), jnp.float32)
 
-    nB = hyb.blk.shape[0]
-    if nB:
-        a = hyb.blk
-        x3d = _pad_operand_batched(
-            x2d, n, exact=exact or a.dtype == jnp.float32)
-        if a.dtype == jnp.float32:
+    if hyb.dense:
+        f32_blocks = hyb.dense[0].blk.dtype == jnp.float32
+        x3d = _pad_operand_batched(x2d, n, exact=exact or f32_blocks)
+        if f32_blocks:
             x3d = x3d.astype(jnp.float32)   # weighted: keep A exact
-        if a.dtype == jnp.int8 and not use_pallas:
-            a = a.astype(jnp.bfloat16)      # kernel converts in-VMEM
-        if use_pallas:
-            from gardenia_tpu.ops.pallas_bsr import dense_block_spmv_batched
-            y3d = dense_block_spmv_batched(
-                a, hyb.blk_src, hyb.blk_dst, hyb.blk_first, x3d, mb,
-                split=x3d.shape[2] == 2 * S)
-        else:
-            xg = x3d[hyb.blk_src]                      # (B,128,K)
-            part = jnp.einsum("bij,bjk->bik", a, xg,
-                              preferred_element_type=jnp.float32)
-            if part.shape[2] == 2 * S:
-                part = part[..., :S] + part[..., S:]
-            y3d = jax.ops.segment_sum(part, hyb.blk_dst,
-                                      num_segments=mb,
-                                      indices_are_sorted=True)
+        split = x3d.shape[2] == 2 * S
+        y3d = _dense_apply(hyb.dense, x3d, S, split, use_pallas)
+        y = y3d.reshape(-1, S)[:num_rows]
+    else:
+        y = jnp.zeros((num_rows, S), jnp.float32)
 
-    y = y3d.reshape(-1, S)[:num_rows]
     if hyb.rem_dst.shape[0]:
         gathered = x2d.astype(jnp.float32)[hyb.rem_src]   # (R, S) rows
         if hyb.rem_w is not None:

@@ -1,30 +1,34 @@
-"""Pallas dense-block SpMV kernels for the hybrid layout (ops/bsr.py).
+"""Pallas dense-block SpMV kernel for the hybrid layout (ops/bsr.py).
 
-Two hand-fused MXU kernels over the dst-sorted 128x128 block stream:
+One hand-fused MXU kernel over a dst-sorted 128x128 block stream:
+blocks (1, 128, S) are legal Mosaic shapes natively; the operand row
+arrives via a scalar-prefetched index map (the PrefetchScalarGridSpec
+gather pattern) and the output row dst[i] stays VMEM-resident across
+consecutive blocks of the same destination row (a prefetched
+first-visit flag zeroes it), so the (128, S) partials NEVER spill to
+HBM — the measured ~2x win over the XLA einsum+segment-sum lowering.
 
-  dense_block_spmv          — single operand vector.  The operand table
-      x2d (mb_x, 128) and the output y2d (mb, 128) live WHOLE in VMEM
-      (4 MB each at |V|=1M — v5e VMEM is ~16 MB) while the A blocks
-      stream HBM->VMEM through the BlockSpec pipeline; per block the
-      kernel reads x row sb[i] and accumulates into y row db[i] with
-      dynamic sublane indexing.  This sidesteps Mosaic's (8, 128)
-      minimum block rule that a (1, 128) row BlockSpec violates (the
-      round-1 kernel never compiled for exactly that reason).
-  dense_block_spmv_batched  — S operand vectors in the lane dimension
-      (the multi-source BFS/BC/batched-SpMV production path).  Blocks
-      (1, 128, S) are legal natively; the operand row arrives via a
-      scalar-prefetched index map (the PrefetchScalarGridSpec gather
-      pattern) and the output row db[i] stays VMEM-resident across
-      consecutive blocks of the same destination row (blocks are
-      dst-sorted; a prefetched first-visit flag zeroes it).  One pass
-      over A serves all S problems — the MXU runs (128,128)@(128,S).
+The same kernel serves every production shape:
+  S = 1          — single-vector PR/SpMV (the (…,1) last dim equals the
+                   full array dim, so the block shape stays legal; a
+                   (1, 128) row BlockSpec would violate Mosaic's
+                   (8, 128) minimum — the round-1/2 kernels never
+                   compiled for exactly that reason).
+  S = 128+       — multi-source BFS / batched Brandes BC / multi-vector
+                   SpMV: one pass over A serves all S problems, the MXU
+                   runs (128,128)@(128,S).
 
-The f32 operand is split into hi+lo bfloat16 halves (outside the
-batched kernel, inside the single-vector one) so products against the
-bf16 A are exact to ~2^-16 relative.  Reference analog:
-src/pr/partition.cu:279-372 / include/segmenting.h (SM-cache-sized
-column blocking); here the block IS the MXU tile.
+Numerics: `split=True` treats the operand's last dim as hi/lo bf16
+halves of an f32 vector ([:, :S] + [:, S:] after the matmul — exact to
+~2^-16 relative); int8 blocks (unweighted edge counts) upcast to the
+operand dtype in VMEM, halving the HBM stream.
 
+Block metadata travels through scalar-prefetch SMEM (~1 MB on v5e), so
+grids are bounded to ~32K blocks — ops/bsr.py cuts the block stream
+into DenseChunks at dst-row boundaries and concatenates chunk outputs.
+
+Reference analog: src/pr/partition.cu:279-372 / include/segmenting.h
+(SM-cache-sized column blocking); here the block IS the MXU tile.
 The sparse remainder stays on the XLA rowsel path (Mosaic has no
 vectorized VMEM gather on this toolchain — see ops/pallas_spmv.py).
 """
@@ -37,69 +41,6 @@ import numpy as np
 
 LANES = 128
 
-# VMEM budget for the single-vector kernel's resident x + y tables
-# (v5e ~16 MB/core; leave room for the double-buffered A stream)
-_RESIDENT_BYTES_MAX = 12 * (1 << 20)
-
-
-def dense_block_spmv(blk: jax.Array, blk_src: jax.Array,
-                     blk_dst: jax.Array, first: jax.Array,
-                     x2d: jax.Array, mb: int, *,
-                     interpret: bool = False) -> jax.Array:
-    """y2d (mb,128) = sum of blk[b] @ x2d[blk_src[b]] into rows
-    blk_dst[b].  blk (B,128,128) bf16|f32; x2d (mb_x,128) f32.  x2d and
-    y2d are VMEM-resident so block order is unconstrained (`first` is
-    accepted for interface parity but unused)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    nB = blk.shape[0]
-    mb_x = x2d.shape[0]
-    if (mb + mb_x) * LANES * 4 > _RESIDENT_BYTES_MAX:
-        raise ValueError("operand+output exceed the VMEM-resident budget; "
-                         "use the XLA einsum path (ops/bsr.spmv_hybrid)")
-
-    def kernel(sb_ref, db_ref, a_ref, x_ref, y_ref):
-        i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _():
-            y_ref[...] = jnp.zeros_like(y_ref)
-
-        sb = sb_ref[i]
-        db = db_ref[i]
-        x = x_ref[pl.ds(sb, 1), :].astype(jnp.float32)  # (1, 128)
-        xh = x.astype(jnp.bfloat16)
-        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-        a = a_ref[0]                                    # (128, 128)
-        if a.dtype == jnp.int8:
-            a = a.astype(jnp.bfloat16)    # int8 HBM stream, bf16 MXU
-        if a.dtype == jnp.float32:
-            acc = jnp.dot(a, x.reshape(LANES, 1),
-                          preferred_element_type=jnp.float32)
-        else:
-            xs = jnp.concatenate([xh, xl], axis=0)      # (2, 128)
-            acc = jnp.dot(a, xs.T.astype(a.dtype),
-                          preferred_element_type=jnp.float32)  # (128, 2)
-            acc = jnp.sum(acc, axis=1, keepdims=True)
-        y_ref[pl.ds(db, 1), :] += acc.reshape(1, LANES)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,          # blk_src, blk_dst
-        grid=(nB,),
-        in_specs=[
-            pl.BlockSpec((1, LANES, LANES), lambda i, sb, db: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # x2d resident
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # y2d resident
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((mb, LANES), jnp.float32),
-        interpret=interpret,
-    )(blk_src, blk_dst, blk, x2d)
-
 
 def dense_block_spmv_batched(blk: jax.Array, blk_src: jax.Array,
                              blk_dst: jax.Array, first: jax.Array,
@@ -107,9 +48,9 @@ def dense_block_spmv_batched(blk: jax.Array, blk_src: jax.Array,
                              split: bool = False,
                              interpret: bool = False) -> jax.Array:
     """y3d (mb,128,S) = sum of blk[b] @ x3d[blk_src[b]] into block rows
-    blk_dst[b].  blk (B,128,128) bf16|f32, dst-sorted with every
-    destination row visited (ops/bsr pads) and first[b]=1 on each row's
-    first block; x3d (mb_x,128,K).
+    blk_dst[b].  blk (B,128,128) int8|bf16|f32, dst-sorted with every
+    destination row in [0, mb) visited (ops/bsr pads) and first[b]=1 on
+    each row's first block; x3d (mb_x,128,K).
 
     split=False: K == S, plain product (bf16 operand is the caller's
                  accuracy choice).

@@ -124,7 +124,7 @@ def test_pallas_dense_block_spmv_batched_interpret():
     """Batched Pallas kernel == the XLA einsum path on the dense part,
     both split (exact) and plain bf16 operands."""
     import jax.numpy as jnp
-    from gardenia_tpu.ops.bsr import (LANES, _pad_operand_batched,
+    from gardenia_tpu.ops.bsr import (_pad_operand_batched,
                                       spmv_hybrid_batched)
     from gardenia_tpu.ops.pallas_bsr import dense_block_spmv_batched
 
@@ -133,16 +133,16 @@ def test_pallas_dense_block_spmv_batched_interpret():
     hyb = build_hybrid(g.rowptr, g.colidx, None, num_cols=g.n,
                        dense_threshold=4)
     x2d = np.random.default_rng(0).random((g.n, S)).astype(np.float32)
-    mb = (g.m + LANES - 1) // LANES
+    (chunk,) = hyb.dense
     hyb_dense = hyb._replace(rem=type(hyb.rem)(buckets=()),
                              rem_dst=hyb.rem_dst[:0],
                              rem_src=hyb.rem_src[:0])
     for exact in (True, False):
         x3d = _pad_operand_batched(jnp.asarray(x2d), g.n, exact=exact)
         y_p = np.asarray(dense_block_spmv_batched(
-            jnp.asarray(hyb.blk), jnp.asarray(hyb.blk_src),
-            jnp.asarray(hyb.blk_dst), jnp.asarray(hyb.blk_first),
-            x3d, mb, split=exact, interpret=True)
+            jnp.asarray(chunk.blk), jnp.asarray(chunk.src),
+            jnp.asarray(chunk.dst), jnp.asarray(chunk.first),
+            x3d, chunk.rows, split=exact, interpret=True)
         ).reshape(-1, S)[:g.m]
         y_x = np.asarray(spmv_hybrid_batched(hyb_dense, jnp.asarray(x2d),
                                              num_rows=g.m, exact=exact))

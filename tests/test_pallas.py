@@ -39,29 +39,28 @@ def test_tiled_spmv_empty_rows():
     np.testing.assert_allclose(np.asarray(y), [0., 3., 0., 1.])
 
 
-def test_pallas_dense_block_spmv_interpret():
-    """Hand-fused dense-block kernel (ops/pallas_bsr.py) == the XLA
-    einsum+segment-sum lowering on the same HybridMatrix."""
+def test_hybrid_chunking_matches_unchunked():
+    """Chunked dense streams (SMEM-bounded scalar prefetch) concatenate
+    to the same result as one big chunk, on both lowering paths."""
     import jax.numpy as jnp
-    from tests.conftest import random_graph
-    from gardenia_tpu.ops.bsr import LANES, _pad_operand, build_hybrid, \
-        spmv_hybrid
-    from gardenia_tpu.ops.pallas_bsr import dense_block_spmv
+    from gardenia_tpu.ops import bsr
+    from gardenia_tpu.ops.bsr import build_hybrid, spmv_hybrid
 
-    g = random_graph(m=300, avg_deg=10, seed=1, symmetric=True)
-    hyb = build_hybrid(g.rowptr, g.colidx, None, num_cols=g.n,
-                       dense_threshold=4)
+    g = random_graph(m=1500, avg_deg=12, seed=5, symmetric=True)
     x = np.random.default_rng(0).random(g.n).astype(np.float32)
-    x2d = _pad_operand(jnp.asarray(x), g.n)
-    mb = (g.m + LANES - 1) // LANES
-    y_p = np.asarray(dense_block_spmv(
-        jnp.asarray(hyb.blk), jnp.asarray(hyb.blk_src),
-        jnp.asarray(hyb.blk_dst), jnp.asarray(hyb.blk_first),
-        x2d, mb, interpret=True)).reshape(-1)[:g.m]
-    hyb_dense = hyb._replace(rem=type(hyb.rem)(buckets=()))
-    y_x = np.asarray(spmv_hybrid(hyb_dense, jnp.asarray(x),
-                                 num_rows=g.m))
-    assert np.abs(y_p - y_x).max() < 1e-4
+    hyb1 = build_hybrid(g.rowptr, g.colidx, None, num_cols=g.n,
+                        dense_threshold=2)
+    try:
+        bsr.CHUNK_BLOCKS, keep = 7, bsr.CHUNK_BLOCKS
+        hyb7 = build_hybrid(g.rowptr, g.colidx, None, num_cols=g.n,
+                            dense_threshold=2)
+    finally:
+        bsr.CHUNK_BLOCKS = keep
+    assert len(hyb7.dense) > 2 and len(hyb1.dense) == 1
+    assert sum(c.rows for c in hyb7.dense) == (g.m + 127) // 128
+    y1 = np.asarray(spmv_hybrid(hyb1, jnp.asarray(x), num_rows=g.m))
+    y7 = np.asarray(spmv_hybrid(hyb7, jnp.asarray(x), num_rows=g.m))
+    np.testing.assert_allclose(y1, y7, atol=1e-3)
 
 
 def test_spmv_hybrid_pallas_s1_routing():
