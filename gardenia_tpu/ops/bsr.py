@@ -89,13 +89,13 @@ class HybridMatrix(NamedTuple):
         return sum(c.blk.shape[0] for c in self.dense)
 
 
-# Measured on v5e (PERFORMANCE.md): the Pallas dense kernels win over
-# the XLA einsum+segment-sum lowering (the VMEM-resident output row
-# never spills (128, S) partials to HBM, and the operand row arrives
-# via a scalar-prefetched index map instead of a materialized gather).
-# The XLA paths remain the always-available fallbacks (CPU tests,
-# virtual meshes).
-USE_PALLAS_DENSE = True
+# Measured on v5e (PERFORMANCE.md): the Pallas kernel's per-grid-step
+# cost is ~300 ns/block, so it needs many lanes to amortize — at S=128
+# it beats the batched XLA einsum ~2x (the VMEM-resident output row
+# never spills (128, S) partials to HBM), but at S=1 it loses ~10x to
+# the XLA int8 einsum (8.3 vs 83 ms/apply on RMAT-20).  The XLA
+# einsum+segment-sum paths also serve CPU tests and virtual meshes.
+USE_PALLAS_DENSE = False
 USE_PALLAS_BATCHED = True
 
 
@@ -157,11 +157,22 @@ def build_hybrid(rowptr: np.ndarray,
         blk_src_h = (dkeys % sb_span).astype(np.int32)
         bofe = np.searchsorted(dkeys, key_s[edge_dense])  # block of edge
         eo = order[edge_dense]
+        # pallas-ready dense layout FIRST (every dst row visited, first
+        # flags), so cells are stored once at their final positions —
+        # no GB-scale concatenate + row-permute passes (the host build
+        # is memory-bandwidth-bound)
+        from gardenia_tpu.ops.pallas_bsr import pad_blocks_for_pallas
+        blk_src_h, blk_dst_h, first_h, order2, n_missing = \
+            pad_blocks_for_pallas(blk_src_h, blk_dst_h, mb)
+        pos = np.empty(nB + n_missing, np.int64)      # concat idx -> slot
+        pos[order2] = np.arange(nB + n_missing)
+
         # sort-by-cell fill: group duplicate cells with one argsort +
         # add.reduceat, then a single fancy store into the staging
         # array — no per-chunk gigabyte float64 bincounts
         cells = LANES * LANES
-        gidx = bofe * cells + (dr[eo].astype(np.int64) * LANES + sr[eo])
+        gidx = pos[bofe] * cells \
+            + (dr[eo].astype(np.int64) * LANES + sr[eo])
         o3 = np.argsort(gidx, kind="stable")
         gi = gidx[o3]
         boundary = np.empty(len(gi), bool)
@@ -176,14 +187,8 @@ def build_hybrid(rowptr: np.ndarray,
                                      or vals.min(initial=0) < -128
                                      or (vals != np.round(vals)).any()):
             blk_dtype = np.dtype("bfloat16")          # counts overflow int8
-        blk_h = np.zeros((nB, LANES, LANES), blk_dtype)
+        blk_h = np.zeros((nB + n_missing, LANES, LANES), blk_dtype)
         blk_h.reshape(-1)[gi[starts]] = vals.astype(blk_dtype)
-
-        # pallas-ready dense layout: every dst row visited, first flags
-        from gardenia_tpu.ops.pallas_bsr import pad_blocks_for_pallas
-        blk_src_h, blk_dst_h, first_h, order2, pad_blk = \
-            pad_blocks_for_pallas(blk_src_h, blk_dst_h, mb, blk_dtype)
-        blk_h = np.concatenate([blk_h, pad_blk], axis=0)[order2]
         dense = _cut_chunks(blk_h, blk_src_h, blk_dst_h, first_h, mb)
     else:
         dense = ()

@@ -46,6 +46,7 @@ def dense_block_spmv_batched(blk: jax.Array, blk_src: jax.Array,
                              blk_dst: jax.Array, first: jax.Array,
                              x3d: jax.Array, mb: int, *,
                              split: bool = False,
+                             pregather: bool = True,
                              interpret: bool = False) -> jax.Array:
     """y3d (mb,128,S) = sum of blk[b] @ x3d[blk_src[b]] into block rows
     blk_dst[b].  blk (B,128,128) int8|bf16|f32, dst-sorted with every
@@ -58,6 +59,13 @@ def dense_block_spmv_batched(blk: jax.Array, blk_src: jax.Array,
                  [S:2S] are summed after the matmul, so bf16 A x bf16
                  halves is exact to ~2^-16 relative (exact for 0/1
                  adjacency).
+    pregather:   gather the operand rows with XLA (xg = x3d[blk_src])
+                 so BOTH kernel input streams are sequential and the
+                 pipeline prefetches deep; the scalar-dependent form
+                 (index map sb[i]) issues one latency-bound DMA per
+                 step (~750 ns measured at RMAT-20) because the fetch
+                 can't run ahead of the grid.  The gather materializes
+                 B x 128 x K once — cheap next to the per-step stall.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -66,7 +74,7 @@ def dense_block_spmv_batched(blk: jax.Array, blk_src: jax.Array,
     K = x3d.shape[2]
     S = K // 2 if split else K
 
-    def kernel(sb_ref, db_ref, first_ref, a_ref, x_ref, y_ref):
+    def kernel(db_ref, first_ref, a_ref, x_ref, y_ref):
         i = pl.program_id(0)
 
         @pl.when(first_ref[i] == 1)
@@ -82,6 +90,28 @@ def dense_block_spmv_batched(blk: jax.Array, blk_src: jax.Array,
             acc = acc[:, :S] + acc[:, S:]
         y_ref[0] += acc
 
+    if pregather:
+        xg = x3d[blk_src]                             # (B, 128, K) rows
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,      # blk_dst, first
+            grid=(nB,),
+            in_specs=[
+                pl.BlockSpec((1, LANES, LANES), lambda i, db, fs: (i, 0, 0)),
+                pl.BlockSpec((1, LANES, K), lambda i, db, fs: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, LANES, S),
+                                   lambda i, db, fs: (db[i], 0, 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((mb, LANES, S), jnp.float32),
+            interpret=interpret,
+        )(blk_dst, first, blk, xg)
+
+    def kernel_sb(sb_ref, db_ref, first_ref, a_ref, x_ref, y_ref):
+        kernel(db_ref, first_ref, a_ref, x_ref, y_ref)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,          # blk_src, blk_dst, first
         grid=(nB,),
@@ -93,7 +123,7 @@ def dense_block_spmv_batched(blk: jax.Array, blk_src: jax.Array,
                                lambda i, sb, db, fs: (db[i], 0, 0)),
     )
     return pl.pallas_call(
-        kernel,
+        kernel_sb,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mb, LANES, S), jnp.float32),
         interpret=interpret,
@@ -101,10 +131,13 @@ def dense_block_spmv_batched(blk: jax.Array, blk_src: jax.Array,
 
 
 def pad_blocks_for_pallas(blk_src: np.ndarray, blk_dst: np.ndarray,
-                          mb: int, blk_dtype) -> tuple:
-    """Every output row must be visited so it gets zeroed: compute the
-    first-visit flags and the ids of destination rows with no blocks
-    (callers append all-zero blocks for those)."""
+                          mb: int) -> tuple:
+    """Every output row must be visited so it gets zeroed: append a
+    zero block (all callers' block buffers start zeroed) for each
+    destination row with none, dst-sort, and compute first-visit flags.
+    Returns (src, dst, first, order, n_missing) where `order` permutes
+    the concatenation [original blocks, missing-row pads] into dst
+    order — callers place block data at position order^-1[b]."""
     nB = len(blk_dst)
     present = np.zeros(mb, bool)
     if nB:
@@ -112,11 +145,10 @@ def pad_blocks_for_pallas(blk_src: np.ndarray, blk_dst: np.ndarray,
     missing = np.nonzero(~present)[0].astype(np.int32)
     dst = np.concatenate([blk_dst, missing])
     src = np.concatenate([blk_src, np.zeros(len(missing), np.int32)])
-    pad_blk = np.zeros((len(missing), LANES, LANES), blk_dtype)
     order = np.argsort(dst, kind="stable")
     dst, src = dst[order], src[order]
     first = np.zeros(len(dst), np.int32)
     if len(dst):
         first[0] = 1
         first[1:] = (dst[1:] != dst[:-1]).astype(np.int32)
-    return src, dst, first, order, pad_blk
+    return src, dst, first, order, len(missing)

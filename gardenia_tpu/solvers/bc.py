@@ -91,15 +91,13 @@ def bc_batched(g, sources, *, layout: str = "auto") -> BCResult:
 
             def fbody(state):
                 depth, sigma, _, d = state
-                # fused pull: frontier indicator and sigma contributions
-                # share one gather+segment pass (lanes [0:S] and [S:2S])
+                # one pull serves both discovery and path counts: sigma
+                # on the frontier is >= 1, so paths > 0 iff the vertex
+                # has an on-level in-neighbor (0.5 guards the split
+                # -bf16 2^-16 rounding)
                 on_level = depth == d
-                both = jnp.concatenate(
-                    [on_level.astype(jnp.float32),
-                     jnp.where(on_level, sigma, 0.0)], axis=1)
-                pulled = pull_in(both)
-                cnt, paths = pulled[:, :S], pulled[:, S:]
-                newly = (cnt > 0) & (depth == INF)
+                paths = pull_in(jnp.where(on_level, sigma, 0.0))
+                newly = (paths > 0.5) & (depth == INF)
                 depth = jnp.where(newly, d + 1, depth)
                 sigma = jnp.where(newly, paths, sigma)
                 return depth, sigma, jnp.any(newly), d + 1
