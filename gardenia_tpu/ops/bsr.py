@@ -17,22 +17,24 @@ the cheapest of two layouts:
     measured), plus a dst-sorted COO copy for the batched multi-source
     path (whole-row gathers are 100% useful bytes at S lanes).
 
-The dense blocks are dst-sorted, padded so every destination row is
-visited, and SPLIT INTO CHUNKS cut at dst-row boundaries: the Pallas
-kernels (ops/pallas_bsr.py) receive per-block metadata through
-scalar-prefetch SMEM, whose ~1 MB capacity bounds a single grid to
-~32K blocks (RMAT-20 has 239K).  Each chunk computes its own row range
-completely, so chunk outputs concatenate — no cross-chunk accumulation.
-Chunk row spans are STATIC pytree aux data (they define kernel shapes).
+Dense blocks are stored as ROW PANELS bucketed by per-destination-row
+block count (the ELL idea lifted to 128x128-block granularity): a
+width-W bucket holds R row slots as one (R, 128, W*128) panel plus a
+(R, W) operand-block table and a (R,) destination-row list.  Rows with
+more than MAX_PANEL_WIDTH blocks split across slots (outputs
+scatter-ADD).  Every index map in the Pallas kernel is then STATIC —
+measured on v5e, any scalar-prefetch-dependent OUTPUT BlockSpec costs
+~750 ns/step in conservative writebacks, and per-block metadata in
+SMEM caps grids at ~32K blocks; panels have neither problem.
 
 Block locality requires hub clustering in the vertex ids — see
 gardenia_tpu/core/relabel.py (degree-sorted relabeling), without which
 scale-free graphs have ~1.45 edges per pair and the layout degenerates.
 
-Numerics: dense-block matmuls split the f32 operand into hi + lo
+Numerics: dense-panel matmuls split the f32 operand into hi + lo
 bfloat16 halves (extra RHS lanes, same A stream), so products are exact
 to ~2^-16 relative — inside PageRank's 1e-4 L1 tolerance and the SpMV
-test tolerances; weighted (f32-block) matmuls keep A exact and split
+test tolerances; weighted (f32-panel) matmuls keep A exact and split
 only the operand.
 """
 
@@ -48,37 +50,33 @@ import jax.numpy as jnp
 LANES = 128
 LANE_BITS = 7
 
-# scalar-prefetch metadata lives in SMEM (~1 MB on v5e); 3 x i32 per
-# block -> stay well under it (measured: 240K blocks = 2.75 MB FAILS)
-CHUNK_BLOCKS = 32768
+MAX_PANEL_WIDTH = 32     # blocks per row slot; wider rows split slots
 
 
 @jax.tree_util.register_pytree_node_class
-class DenseChunk:
-    """One dst-row range of the dense block stream.  `rows` (static)
-    is the chunk's destination-row count; `dst` is RELATIVE to the
-    chunk's first row.  Every row in the span has >= 1 block (zero
-    blocks pad the gaps) and `first` marks each row's first block."""
+class DensePanel:
+    """One width bucket of the dense layout.  `width` (static) is the
+    padded blocks-per-slot; panel[r, i, w*128 + j] holds
+    A[rows[r]*128 + i, src[r, w]*128 + j] (zero-padded slots)."""
 
-    def __init__(self, blk, src, dst, first, rows: int):
-        self.blk = blk        # int8|bf16|f32 [B,128,128]
-        self.src = src        # i32[B] source block column
-        self.dst = dst        # i32[B] dst block row - row_base, sorted
-        self.first = first    # i32[B] 1 on each dst row's first block
-        self.rows = int(rows)
+    def __init__(self, panel, src, rows, width: int):
+        self.panel = panel    # int8|bf16|f32 [R, 128, width*128]
+        self.src = src        # i32[R, width] operand block column
+        self.rows = rows      # i32[R] destination block row (may repeat)
+        self.width = int(width)
 
     def tree_flatten(self):
-        return (self.blk, self.src, self.dst, self.first), self.rows
+        return (self.panel, self.src, self.rows), self.width
 
     @classmethod
-    def tree_unflatten(cls, rows, children):
-        return cls(*children, rows=rows)
+    def tree_unflatten(cls, width, children):
+        return cls(*children, width=width)
 
 
 class HybridMatrix(NamedTuple):
-    """Device (or host) arrays of the hybrid layout: dense chunks plus
-    an ELL-slab + dst-sorted-COO remainder (either may be empty)."""
-    dense: Tuple[DenseChunk, ...]
+    """Device (or host) arrays of the hybrid layout: dense row panels
+    plus an ELL-slab + dst-sorted-COO remainder (either may be empty)."""
+    dense: Tuple[DensePanel, ...]
     rem: object           # ops.ell.EllMatrix over the remainder edges
     rem_dst: jax.Array    # i32[R] remainder dst, NON-DECREASING
     rem_src: jax.Array    # i32[R] remainder src
@@ -86,15 +84,14 @@ class HybridMatrix(NamedTuple):
 
     @property
     def num_blocks(self) -> int:
-        return sum(c.blk.shape[0] for c in self.dense)
+        return sum(p.panel.shape[0] * p.width for p in self.dense)
 
 
-# Measured on v5e (PERFORMANCE.md): the Pallas kernel's per-grid-step
-# cost is ~300 ns/block, so it needs many lanes to amortize — at S=128
-# it beats the batched XLA einsum ~2x (the VMEM-resident output row
-# never spills (128, S) partials to HBM), but at S=1 it loses ~10x to
-# the XLA int8 einsum (8.3 vs 83 ms/apply on RMAT-20).  The XLA
-# einsum+segment-sum paths also serve CPU tests and virtual meshes.
+# Measured on v5e (PERFORMANCE.md): panel matmuls with static index
+# maps stream near HBM bandwidth on both lowerings; the Pallas kernel
+# additionally keeps the (128, S) output resident across width tiles
+# instead of spilling per-panel partials.  The XLA einsum paths also
+# serve CPU tests and virtual meshes.
 USE_PALLAS_DENSE = False
 USE_PALLAS_BATCHED = True
 
@@ -102,6 +99,15 @@ USE_PALLAS_BATCHED = True
 def _pallas_ok() -> bool:
     import jax
     return jax.default_backend() in ("tpu", "axon")
+
+
+def _pow2ceil(x: np.ndarray) -> np.ndarray:
+    out = np.ones_like(x)
+    while True:
+        need = out < x
+        if not need.any():
+            return out
+        out[need] *= 2
 
 
 def build_hybrid(rowptr: np.ndarray,
@@ -113,10 +119,10 @@ def build_hybrid(rowptr: np.ndarray,
                  block_dtype: str = "auto") -> HybridMatrix:
     """Host-side grouping of a CSR matrix into the hybrid layout.
 
-    weights None -> unweighted; dense blocks hold small-int edge counts
+    weights None -> unweighted; dense panels hold small-int edge counts
     and default to int8 storage (half the HBM stream of bf16; consumers
     upcast at use — the MXU still runs bf16).  Weighted matrices store
-    f32 blocks.  block_dtype: 'auto' | 'int8' | 'bfloat16' | 'float32'.
+    f32 panels.  block_dtype: 'auto' | 'int8' | 'bfloat16' | 'float32'.
     Duplicate edges accumulate additively in both layouts.
     """
     from gardenia_tpu.core import build as _build
@@ -146,33 +152,37 @@ def build_hybrid(rowptr: np.ndarray,
     except Exception:                                # pragma: no cover
         blk_dtype = np.float32
 
-    # ---- dense blocks ------------------------------------------------------
+    # ---- dense panels ------------------------------------------------------
     nB = int(dense_sel.sum())
     gid = np.searchsorted(uniq, key_s)               # group of each edge
     edge_dense = dense_sel[gid]
-    mb = (num_rows + LANES - 1) // LANES
     if nB:
         dkeys = uniq[dense_sel]
-        blk_dst_h = (dkeys // sb_span).astype(np.int32)
-        blk_src_h = (dkeys % sb_span).astype(np.int32)
-        bofe = np.searchsorted(dkeys, key_s[edge_dense])  # block of edge
-        eo = order[edge_dense]
-        # pallas-ready dense layout FIRST (every dst row visited, first
-        # flags), so cells are stored once at their final positions —
-        # no GB-scale concatenate + row-permute passes (the host build
-        # is memory-bandwidth-bound)
-        from gardenia_tpu.ops.pallas_bsr import pad_blocks_for_pallas
-        blk_src_h, blk_dst_h, first_h, order2, n_missing = \
-            pad_blocks_for_pallas(blk_src_h, blk_dst_h, mb)
-        pos = np.empty(nB + n_missing, np.int64)      # concat idx -> slot
-        pos[order2] = np.arange(nB + n_missing)
+        blk_dst = (dkeys // sb_span).astype(np.int64)  # non-decreasing
+        blk_src = (dkeys % sb_span).astype(np.int32)
 
-        # sort-by-cell fill: group duplicate cells with one argsort +
-        # add.reduceat, then a single fancy store into the staging
-        # array — no per-chunk gigabyte float64 bincounts
+        # slot assignment: blocks of one dst row are consecutive; rows
+        # wider than MAX_PANEL_WIDTH split into multiple slots
+        row_change = np.empty(nB, bool)
+        row_change[0] = True
+        np.not_equal(blk_dst[1:], blk_dst[:-1], out=row_change[1:])
+        row_start_idx = np.flatnonzero(row_change)
+        row_of_block = np.cumsum(row_change) - 1
+        w_global = np.arange(nB, dtype=np.int64) \
+            - row_start_idx[row_of_block]
+        slot_change = row_change | (w_global % MAX_PANEL_WIDTH == 0)
+        slot_of_block = np.cumsum(slot_change) - 1     # global slot id
+        w_in_slot = (w_global % MAX_PANEL_WIDTH).astype(np.int64)
+        slot_starts = np.flatnonzero(slot_change)
+        slot_cnt = np.diff(np.r_[slot_starts, nB])
+        slot_row = blk_dst[slot_starts].astype(np.int32)
+        slot_width = _pow2ceil(slot_cnt.astype(np.int64))
+
+        # dedup cells once, keyed (block, dr, sr)
+        bofe = np.searchsorted(dkeys, key_s[edge_dense])
+        eo = order[edge_dense]
         cells = LANES * LANES
-        gidx = pos[bofe] * cells \
-            + (dr[eo].astype(np.int64) * LANES + sr[eo])
+        gidx = bofe * cells + (dr[eo].astype(np.int64) * LANES + sr[eo])
         o3 = np.argsort(gidx, kind="stable")
         gi = gidx[o3]
         boundary = np.empty(len(gi), bool)
@@ -187,9 +197,32 @@ def build_hybrid(rowptr: np.ndarray,
                                      or vals.min(initial=0) < -128
                                      or (vals != np.round(vals)).any()):
             blk_dtype = np.dtype("bfloat16")          # counts overflow int8
-        blk_h = np.zeros((nB + n_missing, LANES, LANES), blk_dtype)
-        blk_h.reshape(-1)[gi[starts]] = vals.astype(blk_dtype)
-        dense = _cut_chunks(blk_h, blk_src_h, blk_dst_h, first_h, mb)
+        cell_b = (gi[starts] // cells).astype(np.int64)
+        cell_loc = gi[starts] % cells                  # dr*128 + sr
+        cell_dr = cell_loc // LANES
+        cell_sr = cell_loc % LANES
+
+        panels = []
+        for width in np.unique(slot_width):
+            wsel = slot_width == width
+            n_slots = int(wsel.sum())
+            # slot -> position within this bucket
+            slot_pos = np.cumsum(wsel) - 1
+            src_tbl = np.zeros((n_slots, width), np.int32)
+            bsel = wsel[slot_of_block]
+            src_tbl[slot_pos[slot_of_block[bsel]], w_in_slot[bsel]] = \
+                blk_src[bsel]
+            rows_tbl = slot_row[wsel]
+            panel = np.zeros((n_slots, LANES, width * LANES), blk_dtype)
+            csel = bsel[cell_b]
+            cb = cell_b[csel]
+            flat = (slot_pos[slot_of_block[cb]] * LANES
+                    + cell_dr[csel]) * (width * LANES) \
+                + w_in_slot[cb] * LANES + cell_sr[csel]
+            panel.reshape(-1)[flat] = vals[csel].astype(blk_dtype)
+            panels.append(DensePanel(panel, src_tbl, rows_tbl,
+                                     int(width)))
+        dense = tuple(panels)
     else:
         dense = ()
 
@@ -206,74 +239,37 @@ def build_hybrid(rowptr: np.ndarray,
                         rw if weights is not None else None)
 
 
-def _cut_chunks(blk, src, dst, first, mb: int,
-                chunk_blocks: Optional[int] = None
-                ) -> Tuple[DenseChunk, ...]:
-    """Split the dst-sorted padded block stream at dst-row boundaries
-    into runs of <= chunk_blocks (SMEM budget for scalar prefetch).
-    Each chunk's rows are complete, so outputs concatenate.  A single
-    row with more blocks than the budget becomes its own (oversized)
-    chunk — only possible when num_cols/128 > chunk_blocks."""
-    if chunk_blocks is None:
-        chunk_blocks = CHUNK_BLOCKS
-    nB = len(dst)
-    chunks = []
-    lo = 0
-    row_lo = 0
-    while lo < nB:
-        hi = min(lo + chunk_blocks, nB)
-        if hi < nB:
-            # retreat to the first block of dst[hi]'s row so the row
-            # stays whole; if the row itself starts at/before lo, it is
-            # oversized — advance to its end instead
-            cut_row = dst[hi]
-            first_of_row = int(np.searchsorted(dst, cut_row, side="left"))
-            if first_of_row > lo:
-                hi = first_of_row
-                row_hi = int(cut_row)
-            else:
-                hi = int(np.searchsorted(dst, cut_row, side="right"))
-                row_hi = int(cut_row) + 1
-        else:
-            row_hi = mb
-        chunks.append(DenseChunk(
-            blk[lo:hi], src[lo:hi],
-            (dst[lo:hi] - row_lo).astype(np.int32),
-            np.ascontiguousarray(first[lo:hi]), rows=row_hi - row_lo))
-        lo, row_lo = hi, row_hi
-    return tuple(chunks)
-
-
 def _pad_operand(x: jax.Array, num_cols: int) -> jax.Array:
     qx = (num_cols + LANES - 1) // LANES
     flat = jnp.zeros((qx * LANES,), jnp.float32)
     return flat.at[:num_cols].set(x.astype(jnp.float32)).reshape(qx, LANES)
 
 
-def _dense_apply(dense: Tuple[DenseChunk, ...], x3d: jax.Array, S: int,
-                 split: bool, use_pallas: bool) -> jax.Array:
-    """(sum of chunk results stacked by rows) — (mb, 128, S) f32."""
-    parts = []
-    for c in dense:
-        a = c.blk
+def _dense_apply(dense: Tuple[DensePanel, ...], x3d: jax.Array, mb: int,
+                 S: int, split: bool, use_pallas: bool) -> jax.Array:
+    """sum over panels of panel @ x rows, assembled into (mb, 128, S)
+    f32 by row scatter-add (split slots of one row may repeat)."""
+    y3d = jnp.zeros((mb, LANES, S), jnp.float32)
+    for p in dense:
+        R, W = p.src.shape
+        a = p.panel
+        xg = x3d[p.src]                                # (R, W, 128, K)
+        K = x3d.shape[2]
+        xg = xg.reshape(R, W * LANES, K)
         if use_pallas:
-            from gardenia_tpu.ops.pallas_bsr import dense_block_spmv_batched
-            yc = dense_block_spmv_batched(a, c.src, c.dst, c.first,
-                                          x3d, c.rows, split=split)
+            from gardenia_tpu.ops.pallas_bsr import dense_panel_matmul
+            part = dense_panel_matmul(a, xg, S, split=split)
         else:
             if a.dtype == jnp.int8:
                 a = a.astype(jnp.bfloat16)
-            xg = x3d[c.src]                            # (B,128,K)
             if a.dtype == jnp.float32:
                 xg = xg.astype(jnp.float32)
-            part = jnp.einsum("bij,bjk->bik", a, xg,
+            part = jnp.einsum("riw,rwk->rik", a, xg,
                               preferred_element_type=jnp.float32)
             if split:
                 part = part[..., :S] + part[..., S:]
-            yc = jax.ops.segment_sum(part, c.dst, num_segments=c.rows,
-                                     indices_are_sorted=True)
-        parts.append(yc)
-    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        y3d = y3d.at[p.rows].add(part)
+    return y3d
 
 
 def spmv_hybrid(hyb: HybridMatrix, x: jax.Array, *, num_rows: int,
@@ -283,10 +279,8 @@ def spmv_hybrid(hyb: HybridMatrix, x: jax.Array, *, num_rows: int,
 
     Equivalent to spmv_ell(..., F32_PLUS_TIMES) on the same matrix; this
     is the bandwidth-optimal production path for PR/SpMV-class kernels.
-    use_pallas selects the hand-fused dense-block kernel
-    (ops/pallas_bsr.py, via the batched kernel at S=1 — legal
-    (1,128,1) blocks, no dynamic sublane indexing) over the XLA
-    einsum+segment-sum lowering (None -> module default).
+    use_pallas selects the hand-fused panel kernel (ops/pallas_bsr.py,
+    S=1) over the XLA einsum lowering (None -> module default).
     """
     if use_pallas is None:
         use_pallas = USE_PALLAS_DENSE and _pallas_ok()
@@ -296,9 +290,9 @@ def spmv_hybrid(hyb: HybridMatrix, x: jax.Array, *, num_rows: int,
 
     if hyb.dense:
         qx = x2d.shape[0]
-        f32_blocks = hyb.dense[0].blk.dtype == jnp.float32
+        f32_panels = hyb.dense[0].panel.dtype == jnp.float32
         flat = x2d.reshape(-1, 1)
-        if f32_blocks:
+        if f32_panels:
             x3d = flat.reshape(qx, LANES, 1)           # weighted: exact
             split = False
         else:
@@ -306,7 +300,8 @@ def spmv_hybrid(hyb: HybridMatrix, x: jax.Array, *, num_rows: int,
             lo = (flat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             x3d = jnp.concatenate([hi, lo], axis=1).reshape(qx, LANES, 2)
             split = True
-        y2d = _dense_apply(hyb.dense, x3d, 1, split, use_pallas)[..., 0]
+        y2d = _dense_apply(hyb.dense, x3d, mb, 1, split,
+                           use_pallas)[..., 0]
         y = y2d.reshape(-1)[:num_rows]
     else:
         y = jnp.zeros((num_rows,), jnp.float32)
@@ -321,7 +316,7 @@ def spmv_hybrid(hyb: HybridMatrix, x: jax.Array, *, num_rows: int,
 
 def _pad_operand_batched(x2d: jax.Array, num_cols: int,
                          exact: bool) -> jax.Array:
-    """(n, S) operand -> (nb, 128, K) block table for the dense kernels.
+    """(n, S) operand -> (nb, 128, K) block table for the dense panels.
     exact -> K = 2S bf16 hi/lo halves ([:, :S] hi, [:, S:] lo);
     otherwise K = S in bf16 (callers pick this when products need only
     sign/zero fidelity, e.g. frontier counts)."""
@@ -343,13 +338,13 @@ def spmv_hybrid_batched(hyb: HybridMatrix, x2d: jax.Array, *,
     """Multi-vector plus-times SpMV over the hybrid layout:
     y[i, s] = sum_j A[i, j] x2d[j, s] for S problems in the lane dim.
 
-    One pass over the dense blocks serves all S problems — the MXU runs
-    (128,128)@(128,S) per block, so per-problem A traffic is 1/S of the
-    single-vector case.  This is the production multi-source path
-    (MS-BFS, batched Brandes BC, multi-vector SpMV) replacing per-edge
-    whole-row gathers (ops/spmv.spmv_batched) on the dense part; the
-    sparse remainder still pays the per-edge row gather, which IS
-    100%-useful traffic at S lanes.
+    One pass over the dense panels serves all S problems — the MXU runs
+    (128, W*128)@(W*128, S) per row slot, so per-problem A traffic is
+    1/S of the single-vector case.  This is the production multi-source
+    path (MS-BFS, batched Brandes BC, multi-vector SpMV) replacing
+    per-edge whole-row gathers (ops/spmv.spmv_batched) on the dense
+    part; the sparse remainder still pays the per-edge row gather,
+    which IS 100%-useful traffic at S lanes.
 
     exact=False computes dense products in bf16 (single pass, half the
     operand traffic) — safe when only zero/nonzero or ~3-digit accuracy
@@ -359,14 +354,15 @@ def spmv_hybrid_batched(hyb: HybridMatrix, x2d: jax.Array, *,
     if use_pallas is None:
         use_pallas = USE_PALLAS_BATCHED and _pallas_ok()
     n, S = x2d.shape
+    mb = (num_rows + LANES - 1) // LANES
 
     if hyb.dense:
-        f32_blocks = hyb.dense[0].blk.dtype == jnp.float32
-        x3d = _pad_operand_batched(x2d, n, exact=exact or f32_blocks)
-        if f32_blocks:
+        f32_panels = hyb.dense[0].panel.dtype == jnp.float32
+        x3d = _pad_operand_batched(x2d, n, exact=exact or f32_panels)
+        if f32_panels:
             x3d = x3d.astype(jnp.float32)   # weighted: keep A exact
         split = x3d.shape[2] == 2 * S
-        y3d = _dense_apply(hyb.dense, x3d, S, split, use_pallas)
+        y3d = _dense_apply(hyb.dense, x3d, mb, S, split, use_pallas)
         y = y3d.reshape(-1, S)[:num_rows]
     else:
         y = jnp.zeros((num_rows, S), jnp.float32)

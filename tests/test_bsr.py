@@ -120,30 +120,35 @@ def test_spmv_hybrid_batched_matches_oracle(m, deg, weighted, thr, S,
     assert np.abs(y - exp).max() / scale < tol
 
 
-def test_pallas_dense_block_spmv_batched_interpret():
-    """Batched Pallas kernel == the XLA einsum path on the dense part,
-    both split (exact) and plain bf16 operands."""
+def test_pallas_dense_panel_matmul_interpret():
+    """Panel Pallas kernel == the XLA einsum path on the dense part,
+    both split (exact) and plain bf16 operands, across width buckets."""
     import jax.numpy as jnp
-    from gardenia_tpu.ops.bsr import (_pad_operand_batched,
+    from gardenia_tpu.ops.bsr import (LANES, _pad_operand_batched,
                                       spmv_hybrid_batched)
-    from gardenia_tpu.ops.pallas_bsr import dense_block_spmv_batched
+    from gardenia_tpu.ops.pallas_bsr import dense_panel_matmul
 
     S = 8
     g = random_graph(m=300, avg_deg=10, seed=1, symmetric=True)
     hyb = build_hybrid(g.rowptr, g.colidx, None, num_cols=g.n,
                        dense_threshold=4)
+    assert hyb.dense
     x2d = np.random.default_rng(0).random((g.n, S)).astype(np.float32)
-    (chunk,) = hyb.dense
     hyb_dense = hyb._replace(rem=type(hyb.rem)(buckets=()),
                              rem_dst=hyb.rem_dst[:0],
                              rem_src=hyb.rem_src[:0])
+    mb = (g.m + LANES - 1) // LANES
     for exact in (True, False):
         x3d = _pad_operand_batched(jnp.asarray(x2d), g.n, exact=exact)
-        y_p = np.asarray(dense_block_spmv_batched(
-            jnp.asarray(chunk.blk), jnp.asarray(chunk.src),
-            jnp.asarray(chunk.dst), jnp.asarray(chunk.first),
-            x3d, chunk.rows, split=exact, interpret=True)
-        ).reshape(-1, S)[:g.m]
+        y_p = np.zeros((mb, LANES, S), np.float32)
+        for p in hyb_dense.dense:
+            R, W = p.src.shape
+            xg = np.asarray(x3d)[p.src].reshape(R, W * LANES, -1)
+            part = np.asarray(dense_panel_matmul(
+                jnp.asarray(p.panel), jnp.asarray(xg), S, split=exact,
+                interpret=True))
+            np.add.at(y_p, p.rows, part)
+        y_p = y_p.reshape(-1, S)[:g.m]
         y_x = np.asarray(spmv_hybrid_batched(hyb_dense, jnp.asarray(x2d),
                                              num_rows=g.m, exact=exact))
         assert np.abs(y_p - y_x).max() < 1e-4

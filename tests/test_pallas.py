@@ -39,9 +39,9 @@ def test_tiled_spmv_empty_rows():
     np.testing.assert_allclose(np.asarray(y), [0., 3., 0., 1.])
 
 
-def test_hybrid_chunking_matches_unchunked():
-    """Chunked dense streams (SMEM-bounded scalar prefetch) concatenate
-    to the same result as one big chunk, on both lowering paths."""
+def test_hybrid_panel_row_splitting():
+    """Rows wider than MAX_PANEL_WIDTH split across slots whose outputs
+    scatter-ADD back; narrow/wide widths agree."""
     import jax.numpy as jnp
     from gardenia_tpu.ops import bsr
     from gardenia_tpu.ops.bsr import build_hybrid, spmv_hybrid
@@ -51,16 +51,17 @@ def test_hybrid_chunking_matches_unchunked():
     hyb1 = build_hybrid(g.rowptr, g.colidx, None, num_cols=g.n,
                         dense_threshold=2)
     try:
-        bsr.CHUNK_BLOCKS, keep = 7, bsr.CHUNK_BLOCKS
-        hyb7 = build_hybrid(g.rowptr, g.colidx, None, num_cols=g.n,
+        bsr.MAX_PANEL_WIDTH, keep = 2, bsr.MAX_PANEL_WIDTH
+        hyb2 = build_hybrid(g.rowptr, g.colidx, None, num_cols=g.n,
                             dense_threshold=2)
     finally:
-        bsr.CHUNK_BLOCKS = keep
-    assert len(hyb7.dense) > 2 and len(hyb1.dense) == 1
-    assert sum(c.rows for c in hyb7.dense) == (g.m + 127) // 128
+        bsr.MAX_PANEL_WIDTH = keep
+    # narrow slots force duplicate row ids (split rows)
+    rows2 = np.concatenate([np.asarray(p.rows) for p in hyb2.dense])
+    assert len(rows2) > len(np.unique(rows2))
     y1 = np.asarray(spmv_hybrid(hyb1, jnp.asarray(x), num_rows=g.m))
-    y7 = np.asarray(spmv_hybrid(hyb7, jnp.asarray(x), num_rows=g.m))
-    np.testing.assert_allclose(y1, y7, atol=1e-3)
+    y2 = np.asarray(spmv_hybrid(hyb2, jnp.asarray(x), num_rows=g.m))
+    np.testing.assert_allclose(y1, y2, atol=1e-3)
 
 
 def test_spmv_hybrid_pallas_s1_routing():
