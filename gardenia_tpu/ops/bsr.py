@@ -367,11 +367,7 @@ def spmv_hybrid_batched(hyb: HybridMatrix, x2d: jax.Array, *,
     else:
         y = jnp.zeros((num_rows, S), jnp.float32)
 
-    if hyb.rem_dst.shape[0]:
-        gathered = x2d.astype(jnp.float32)[hyb.rem_src]   # (R, S) rows
-        if hyb.rem_w is not None:
-            gathered = gathered * hyb.rem_w[:, None]
-        y = y + jax.ops.segment_sum(gathered, hyb.rem_dst,
-                                    num_segments=num_rows,
-                                    indices_are_sorted=True)
+    if hyb.rem.buckets:
+        from gardenia_tpu.ops.spmv import spmv_ell_batched
+        y = spmv_ell_batched(hyb.rem, x2d, num_rows=num_rows, init=y)
     return y
