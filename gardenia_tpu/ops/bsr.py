@@ -52,6 +52,11 @@ LANE_BITS = 7
 
 MAX_PANEL_WIDTH = 32     # blocks per row slot; wider rows split slots
 
+# blocks per panel array: bounds the batched apply's per-panel operand
+# materialization (xg = blocks x 128 x K; at K=256 bf16 a 225K-block
+# panel wants 14.7 GB > HBM — the remote compiler aborts)
+MAX_PANEL_BLOCKS = 49152
+
 
 @jax.tree_util.register_pytree_node_class
 class DensePanel:
@@ -203,25 +208,31 @@ def build_hybrid(rowptr: np.ndarray,
         cell_sr = cell_loc % LANES
 
         panels = []
+        n_slots_total = len(slot_cnt)
+        slot_pos = np.full(n_slots_total, -1, np.int64)
         for width in np.unique(slot_width):
-            wsel = slot_width == width
-            n_slots = int(wsel.sum())
-            # slot -> position within this bucket
-            slot_pos = np.cumsum(wsel) - 1
-            src_tbl = np.zeros((n_slots, width), np.int32)
-            bsel = wsel[slot_of_block]
-            src_tbl[slot_pos[slot_of_block[bsel]], w_in_slot[bsel]] = \
-                blk_src[bsel]
-            rows_tbl = slot_row[wsel]
-            panel = np.zeros((n_slots, LANES, width * LANES), blk_dtype)
-            csel = bsel[cell_b]
-            cb = cell_b[csel]
-            flat = (slot_pos[slot_of_block[cb]] * LANES
-                    + cell_dr[csel]) * (width * LANES) \
-                + w_in_slot[cb] * LANES + cell_sr[csel]
-            panel.reshape(-1)[flat] = vals[csel].astype(blk_dtype)
-            panels.append(DensePanel(panel, src_tbl, rows_tbl,
-                                     int(width)))
+            idxs = np.flatnonzero(slot_width == width)
+            spp = max(1, MAX_PANEL_BLOCKS // int(width))
+            for g0 in range(0, len(idxs), spp):
+                sub = idxs[g0:g0 + spp]
+                n_slots = len(sub)
+                slot_pos[:] = -1
+                slot_pos[sub] = np.arange(n_slots)
+                bpos = slot_pos[slot_of_block]
+                bsel = bpos >= 0
+                src_tbl = np.zeros((n_slots, width), np.int32)
+                src_tbl[bpos[bsel], w_in_slot[bsel]] = blk_src[bsel]
+                rows_tbl = slot_row[sub]
+                panel = np.zeros((n_slots, LANES, width * LANES),
+                                 blk_dtype)
+                csel = bsel[cell_b]
+                cb = cell_b[csel]
+                flat = (bpos[cb] * LANES + cell_dr[csel]) \
+                    * (width * LANES) \
+                    + w_in_slot[cb] * LANES + cell_sr[csel]
+                panel.reshape(-1)[flat] = vals[csel].astype(blk_dtype)
+                panels.append(DensePanel(panel, src_tbl, rows_tbl,
+                                         int(width)))
         dense = tuple(panels)
     else:
         dense = ()
@@ -367,7 +378,17 @@ def spmv_hybrid_batched(hyb: HybridMatrix, x2d: jax.Array, *,
     else:
         y = jnp.zeros((num_rows, S), jnp.float32)
 
-    if hyb.rem.buckets:
-        from gardenia_tpu.ops.spmv import spmv_ell_batched
-        y = spmv_ell_batched(hyb.rem, x2d, num_rows=num_rows, init=y)
+    if hyb.rem_dst.shape[0]:
+        # per-edge whole-row gather + sorted segment-sum.  Measured
+        # ALTERNATIVES both lose at RMAT-20 S=128: ELL-slab reduction
+        # (whole-row gathers + dense width reduce + per-row scatter)
+        # = 165 ms vs 105 ms here — the (S,)-row gather's ~14 ns/row
+        # dispatch cost dominates both forms and slabs add ~30% pad
+        # slots.  Only a vectorized in-kernel gather would move this.
+        gathered = x2d.astype(jnp.float32)[hyb.rem_src]   # (R, S) rows
+        if hyb.rem_w is not None:
+            gathered = gathered * hyb.rem_w[:, None]
+        y = y + jax.ops.segment_sum(gathered, hyb.rem_dst,
+                                    num_segments=num_rows,
+                                    indices_are_sorted=True)
     return y

@@ -102,35 +102,6 @@ def spmv_batched(row_ids_sorted: jax.Array,
                                indices_are_sorted=True)
 
 
-def spmv_ell_batched(ell: EllMatrix,
-                     x2d: jax.Array,
-                     *,
-                     num_rows: int,
-                     init: Optional[jax.Array] = None) -> jax.Array:
-    """Multi-vector plus-times SpMV over the ELL slab layout:
-    y[i, s] = sum_j A[i, j] x2d[j, s].
-
-    Each slot's gather fetches a whole (S,)-row — 100% useful bytes —
-    and partials reduce DENSELY over the width axis before one
-    row-scatter per virtual row.  This replaces the per-edge COO
-    segment-sum for the batched hybrid remainder: 7.4M edge-wise
-    scatter-adds measured 105 ms/apply at RMAT-20 S=128, the slab
-    reduction ~4x less (the scatter count drops from E to ~V).
-    """
-    n, S = x2d.shape
-    x_ext = jnp.concatenate([x2d.astype(jnp.float32),
-                             jnp.zeros((1, S), jnp.float32)])
-    y = jnp.zeros((num_rows, S), jnp.float32) if init is None \
-        else init.astype(jnp.float32)
-    for b in ell.buckets:
-        gathered = x_ext[b.cols]                    # (W, R, S) rows
-        if b.vals is not None:
-            gathered = gathered * jnp.asarray(b.vals)[..., None]
-        partial = jnp.sum(gathered, axis=0)         # (R, S)
-        y = y.at[b.row_ids].add(partial, mode="drop")
-    return y
-
-
 def make_push_pb(g, weights=None):
     """Propagation-blocking push SpMV (reference include/prop_blocking.h
     + src/pr/pb.cc): the preprocessing step computes, once, where each

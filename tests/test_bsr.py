@@ -154,6 +154,30 @@ def test_pallas_dense_panel_matmul_interpret():
         assert np.abs(y_p - y_x).max() < 1e-4
 
 
+def test_panel_block_cap_splits_buckets():
+    """MAX_PANEL_BLOCKS bounds each panel's block count (the batched
+    operand materialization would exceed HBM otherwise); split panels
+    reproduce the unsplit result."""
+    from gardenia_tpu.ops import bsr
+    from gardenia_tpu.ops.bsr import spmv_hybrid_batched
+    g = random_graph(m=700, avg_deg=12, seed=7, symmetric=True)
+    x2d = np.random.default_rng(2).random((g.n, 4)).astype(np.float32)
+    hyb1 = build_hybrid(g.rowptr, g.colidx, None, num_cols=g.n,
+                        dense_threshold=2)
+    try:
+        bsr.MAX_PANEL_BLOCKS, keep = 8, bsr.MAX_PANEL_BLOCKS
+        hyb8 = build_hybrid(g.rowptr, g.colidx, None, num_cols=g.n,
+                            dense_threshold=2)
+    finally:
+        bsr.MAX_PANEL_BLOCKS = keep
+    assert len(hyb8.dense) > len(hyb1.dense)
+    assert all(p.src.size <= 8 or p.width > 8 for p in hyb8.dense)
+    assert hyb8.num_blocks == hyb1.num_blocks
+    y1 = np.asarray(spmv_hybrid_batched(hyb1, x2d, num_rows=g.m))
+    y8 = np.asarray(spmv_hybrid_batched(hyb8, x2d, num_rows=g.m))
+    np.testing.assert_allclose(y1, y8, atol=1e-3)
+
+
 def test_spmv_solver_hybrid_variant():
     from gardenia_tpu.solvers.spmv import spmv_solver
     g = random_graph(m=200, avg_deg=7, seed=11, weighted=True,
