@@ -1,12 +1,14 @@
 from gardenia_tpu.parallel.partition import ShardedEll, partition_ell_1d
 from gardenia_tpu.parallel.mesh import make_mesh
 from gardenia_tpu.parallel.pr import pr_solver_dist
-from gardenia_tpu.parallel.bfs import bfs_solver_dist
+from gardenia_tpu.parallel.bfs import (bfs_multi_source_dist,
+                                        bfs_solver_dist)
 from gardenia_tpu.parallel.tc import tc_solver_dist
 from gardenia_tpu.parallel.sgd import sgd_train_dist, make_dist_sgd_step
 from gardenia_tpu.parallel.color import vc_solver_dist, scc_solver_dist
 
 __all__ = ["ShardedEll", "partition_ell_1d", "make_mesh",
-           "pr_solver_dist", "bfs_solver_dist", "tc_solver_dist",
+           "pr_solver_dist", "bfs_solver_dist",
+           "bfs_multi_source_dist", "tc_solver_dist",
            "sgd_train_dist", "make_dist_sgd_step", "vc_solver_dist",
            "scc_solver_dist"]

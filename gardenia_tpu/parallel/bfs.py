@@ -77,3 +77,60 @@ def bfs_solver_dist(g, source: int = 0, *, mesh=None, n_shards=None,
                                ell_arrays)
     return BFSResult(jnp.asarray(parts.from_padded(np.asarray(dist))),
                      depth)
+
+
+def bfs_multi_source_dist(g, sources, *, mesh=None,
+                          n_shards=None) -> BFSResult:
+    """Data-parallel batched multi-source BFS: the source batch is
+    SHARDED across the mesh while the graph replicates — each chip
+    level-traverses its S/n sources in the lane dimension with zero
+    inter-chip traffic (independent problems), and only the level
+    counter reduces at the end.  Composes the two batching axes native
+    to this hardware: lanes within a chip (solvers/bfs.py
+    bfs_multi_source) x data parallelism across chips.  Returns dist
+    (m, S) sharded along S.  Reference analog: running the per-source
+    loop of src/bc/omp_base.cc:69 across GPUs."""
+    if mesh is None:
+        mesh = make_mesh(n_shards)
+    n = mesh.devices.size
+    sources = np.asarray(sources, np.int32)
+    S = len(sources)
+    if S % n:
+        raise ValueError(f"sources ({S}) must divide the mesh ({n})")
+    m = g.m
+    Sl = S // n
+    rows = np.repeat(np.arange(m, dtype=np.int32), np.diff(g.in_rowptr))
+    cols = np.asarray(g.in_colidx)
+    in_dst = jnp.asarray(rows)
+    in_src = jnp.asarray(cols)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("v"), P(), P()),
+             out_specs=(P(None, "v"), P()))
+    def run(src_l, in_dst_, in_src_):
+        j = jnp.arange(Sl, dtype=jnp.int32)
+        dist0 = jnp.full((m, Sl), INF, jnp.int32).at[src_l, j].set(0)
+
+        def cond(state):
+            _, alive, _ = state
+            return alive
+
+        def body(state):
+            dist, _, d = state
+            frontier = (dist == d).astype(jnp.float32)
+            gathered = frontier[in_src_]
+            cnt = jax.ops.segment_sum(gathered, in_dst_,
+                                      num_segments=m,
+                                      indices_are_sorted=True)
+            newly = (cnt > 0) & (dist == INF)
+            dist = jnp.where(newly, d + 1, dist)
+            return dist, jnp.any(newly), d + 1
+
+        # initial alive derives from dist0 so its varying-axis type
+        # matches the loop body's (shard_map vma tracking)
+        dist, _, depth = jax.lax.while_loop(
+            cond, body, (dist0, jnp.any(dist0 == 0), jnp.int32(0)))
+        return dist, jax.lax.pmax(depth, "v")
+
+    dist, depth = jax.jit(run)(jnp.asarray(sources), in_dst, in_src)
+    return BFSResult(dist, depth)

@@ -144,3 +144,16 @@ def test_vc_dist2d_valid_coloring(mesh2d):
     g = random_graph(m=140, avg_deg=7, seed=2, symmetric=True)
     res = vc_solver_dist2d(g, mesh=mesh2d)
     assert oracles.vc_check(g, np.asarray(res.colors))
+
+
+def test_msbfs_dp_matches_per_source(mesh):
+    """Source-sharded data-parallel MS-BFS == serial per-source BFS."""
+    from gardenia_tpu.parallel import bfs_multi_source_dist
+    g = random_graph(m=150, avg_deg=5, seed=9, symmetric=True)
+    sources = (np.arange(16) * 11) % g.m
+    res = bfs_multi_source_dist(g, sources, mesh=mesh)
+    dist = np.asarray(res.dist)
+    assert dist.shape == (g.m, 16)
+    for j, s in enumerate(sources):
+        np.testing.assert_array_equal(dist[:, j],
+                                      oracles.bfs_serial(g, int(s)))
