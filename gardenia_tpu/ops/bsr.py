@@ -102,8 +102,8 @@ USE_PALLAS_BATCHED = True
 
 
 def _pallas_ok() -> bool:
-    import jax
-    return jax.default_backend() in ("tpu", "axon")
+    from gardenia_tpu.ops import rowsel
+    return rowsel.enabled()     # same TPU-backend policy as the gathers
 
 
 def _pow2ceil(x: np.ndarray) -> np.ndarray:
@@ -201,7 +201,9 @@ def build_hybrid(rowptr: np.ndarray,
         if blk_dtype == np.int8 and (vals.max(initial=0) > 127
                                      or vals.min(initial=0) < -128
                                      or (vals != np.round(vals)).any()):
-            blk_dtype = np.dtype("bfloat16")          # counts overflow int8
+            # f32, not bf16: counts > 256 / fractional values must stay
+            # exact (bf16 rounds 257 to 256)
+            blk_dtype = np.dtype("float32")
         cell_b = (gi[starts] // cells).astype(np.int64)
         cell_loc = gi[starts] % cells                  # dr*128 + sr
         cell_dr = cell_loc // LANES
@@ -369,10 +371,17 @@ def spmv_hybrid_batched(hyb: HybridMatrix, x2d: jax.Array, *,
 
     if hyb.dense:
         f32_panels = hyb.dense[0].panel.dtype == jnp.float32
-        x3d = _pad_operand_batched(x2d, n, exact=exact or f32_panels)
         if f32_panels:
-            x3d = x3d.astype(jnp.float32)   # weighted: keep A exact
-        split = x3d.shape[2] == 2 * S
+            # weighted: plain f32 operand, K = S — exact and half the
+            # traffic/FLOPs of a split operand
+            qx = (n + LANES - 1) // LANES
+            flat = jnp.zeros((qx * LANES, S), jnp.float32) \
+                .at[:n].set(x2d.astype(jnp.float32))
+            x3d = flat.reshape(qx, LANES, S)
+            split = False
+        else:
+            x3d = _pad_operand_batched(x2d, n, exact=exact)
+            split = x3d.shape[2] == 2 * S
         y3d = _dense_apply(hyb.dense, x3d, mb, S, split, use_pallas)
         y = y3d.reshape(-1, S)[:num_rows]
     else:

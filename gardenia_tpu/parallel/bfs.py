@@ -96,41 +96,48 @@ def bfs_multi_source_dist(g, sources, *, mesh=None,
     sources = np.asarray(sources, np.int32)
     S = len(sources)
     if S % n:
-        raise ValueError(f"sources ({S}) must divide the mesh ({n})")
+        raise ValueError(f"the mesh size ({n}) must divide the "
+                         f"source count ({S})")
     m = g.m
     Sl = S // n
-    rows = np.repeat(np.arange(m, dtype=np.int32), np.diff(g.in_rowptr))
-    cols = np.asarray(g.in_colidx)
-    in_dst = jnp.asarray(rows)
-    in_src = jnp.asarray(cols)
 
-    @partial(shard_map, mesh=mesh,
-             in_specs=(P("v"), P(), P()),
-             out_specs=(P(None, "v"), P()))
-    def run(src_l, in_dst_, in_src_):
-        j = jnp.arange(Sl, dtype=jnp.int32)
-        dist0 = jnp.full((m, Sl), INF, jnp.int32).at[src_l, j].set(0)
+    def build():
+        rows = np.repeat(np.arange(m, dtype=np.int32),
+                         np.diff(g.in_rowptr))
+        in_dst = jnp.asarray(rows)
+        in_src = jnp.asarray(np.asarray(g.in_colidx))
 
-        def cond(state):
-            _, alive, _ = state
-            return alive
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P("v"), P(), P()),
+                 out_specs=(P(None, "v"), P()))
+        def run(src_l, in_dst_, in_src_):
+            j = jnp.arange(Sl, dtype=jnp.int32)
+            dist0 = jnp.full((m, Sl), INF, jnp.int32).at[src_l, j].set(0)
 
-        def body(state):
-            dist, _, d = state
-            frontier = (dist == d).astype(jnp.float32)
-            gathered = frontier[in_src_]
-            cnt = jax.ops.segment_sum(gathered, in_dst_,
-                                      num_segments=m,
-                                      indices_are_sorted=True)
-            newly = (cnt > 0) & (dist == INF)
-            dist = jnp.where(newly, d + 1, dist)
-            return dist, jnp.any(newly), d + 1
+            def cond(state):
+                _, alive, _ = state
+                return alive
 
-        # initial alive derives from dist0 so its varying-axis type
-        # matches the loop body's (shard_map vma tracking)
-        dist, _, depth = jax.lax.while_loop(
-            cond, body, (dist0, jnp.any(dist0 == 0), jnp.int32(0)))
-        return dist, jax.lax.pmax(depth, "v")
+            def body(state):
+                dist, _, d = state
+                frontier = (dist == d).astype(jnp.float32)
+                gathered = frontier[in_src_]
+                cnt = jax.ops.segment_sum(gathered, in_dst_,
+                                          num_segments=m,
+                                          indices_are_sorted=True)
+                newly = (cnt > 0) & (dist == INF)
+                dist = jnp.where(newly, d + 1, dist)
+                return dist, jnp.any(newly), d + 1
 
-    dist, depth = jax.jit(run)(jnp.asarray(sources), in_dst, in_src)
+            # initial alive derives from dist0 so its varying-axis type
+            # matches the loop body's (shard_map vma tracking)
+            dist, _, depth = jax.lax.while_loop(
+                cond, body, (dist0, jnp.any(dist0 == 0), jnp.int32(0)))
+            return dist, jax.lax.pmax(depth, "v")
+
+        jitted = jax.jit(run)
+        return lambda s: jitted(s, in_dst, in_src)
+
+    run = g._dev(("msbfs_dp_run", S, id(mesh)), build)
+    dist, depth = run(jnp.asarray(sources))
     return BFSResult(dist, depth)

@@ -308,9 +308,9 @@ def bfs_multi_source(g, sources, *, layout: str = "auto") -> BFSResult:
 
     def build():
         if layout == "hybrid":
-            gg, hyb, new_of_old = _hybrid_ctx(g)
+            _, hyb, new_of_old = _hybrid_ctx(g)
         else:
-            gg, hyb, new_of_old = g, None, None
+            hyb, new_of_old = None, None
             in_dst, in_src = _coo_sorted(g, reverse=True)
 
         def sweep(hyb_, frontier):
