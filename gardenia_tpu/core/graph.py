@@ -182,6 +182,9 @@ class Graph:
         core/relabel.py on scatter-labeled graphs."""
         import jax
 
+        if self.symmetric:
+            reverse = False    # identical CSR: share one device layout
+
         def mk():
             from gardenia_tpu.ops.bsr import build_hybrid
             rp = self.in_rowptr if reverse else self.rowptr

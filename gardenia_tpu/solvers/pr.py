@@ -20,9 +20,10 @@ Variants:
 
 Layouts (pull/delta):
   'hybrid'  — degree-relabeled hybrid block-sparse (ops/bsr.py): dense
-              128x128 bf16 blocks on the MXU + one-hot tiles — the
-              production path, ~4x less HBM traffic than rowsel ELL on
-              RMAT-20.  Scores are mapped back to original ids on device.
+              int8 128x128 blocks in row panels on the MXU + rowsel ELL
+              remainder — the production path, ~3x less wall-clock than
+              all-rowsel on RMAT-20.  Scores map back to original ids
+              on device.
   'ell'     — degree-bucketed slab SpMV (ops/ell.py), rowsel gathers.
   'auto'    — hybrid on TPU backends, ell elsewhere.
 """
