@@ -327,6 +327,43 @@ def spmv_hybrid(hyb: HybridMatrix, x: jax.Array, *, num_rows: int,
     return y if init is None else y + init.astype(jnp.float32)
 
 
+def spmv_hybrid_min_select(hyb: HybridMatrix, x: jax.Array, *,
+                           num_rows: int, sentinel: int) -> jax.Array:
+    """y[i] = min over A[i,j] != 0 of x[j] (the min-select semiring —
+    CC label propagation) over the hybrid layout; entries with no
+    neighbors return `sentinel`.
+
+    Dense panels ride a VPU masked-min Pallas kernel
+    (ops/pallas_bsr.dense_panel_minselect) — the MXU only serves
+    plus-times, and the XLA masked-broadcast lowering materializes the
+    (R, 128, W*128) intermediate in HBM (the measured one-hot-tile
+    failure), so this path is TPU/Pallas-only: callers keep the ELL
+    slab path off-TPU (solvers/cc.py does)."""
+    from gardenia_tpu.ops.pallas_bsr import dense_panel_minselect
+    from gardenia_tpu.ops.semiring import I32_MIN_SELECT2
+    from gardenia_tpu.ops.spmv import spmv_ell
+
+    num_cols = int(x.shape[0])
+    qx = (num_cols + LANES - 1) // LANES
+    mb = (num_rows + LANES - 1) // LANES
+    snt = jnp.int32(sentinel)
+    flat = jnp.full((qx * LANES,), snt)
+    x3d = flat.at[:num_cols].set(x.astype(jnp.int32)) \
+        .reshape(qx, LANES)
+    y2d = jnp.full((mb, LANES), snt)
+    for p in hyb.dense:
+        R, W = p.src.shape
+        xg = x3d[p.src].reshape(R, W * LANES, 1)
+        part = dense_panel_minselect(p.panel, xg, sentinel)[..., 0]
+        y2d = y2d.at[p.rows].min(part)
+    y = y2d.reshape(-1)[:num_rows]
+    if hyb.rem.buckets:
+        y = spmv_ell(hyb.rem, x.astype(jnp.int32),
+                     semiring=I32_MIN_SELECT2, num_rows=num_rows,
+                     init=y)
+    return y
+
+
 def _pad_operand_batched(x2d: jax.Array, num_cols: int,
                          exact: bool) -> jax.Array:
     """(n, S) operand -> (nb, 128, K) block table for the dense panels.

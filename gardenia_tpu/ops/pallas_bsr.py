@@ -88,3 +88,56 @@ def dense_panel_matmul(panel: jax.Array, xg: jax.Array, S: int, *,
         out_shape=jax.ShapeDtypeStruct((R, LANES, S), jnp.float32),
         interpret=interpret,
     )(panel, xg)
+
+
+def dense_panel_minselect(panel: jax.Array, xg: jax.Array,
+                          sentinel: int, *,
+                          interpret: bool = False) -> jax.Array:
+    """(R, 128, 1) i32: y[r, i] = min over panel columns j with
+    A[r, i, j] != 0 of xg[r, j] — the min-select semiring (CC label
+    propagation, ops/semiring.I32_MIN_SELECT2) over the dense panels.
+
+    The MXU serves only plus-times; min rides the VPU as a masked
+    broadcast + lane reduction that stays in VMEM — the equivalent
+    XLA lowering materializes the (R, 128, W*128) broadcast compare
+    in HBM (the measured one-hot-tile failure), so this path is
+    Pallas-only and callers fall back to the ELL slabs off-TPU.
+
+    panel: (R, 128, W*128) any dtype, zero = absent edge.
+    xg:    (R, W*128, 1) i32 operand labels (pad slots may hold
+           anything — absent columns are masked by the panel).
+    """
+    from jax.experimental import pallas as pl
+
+    R, _, WC = panel.shape
+    W = WC // LANES
+    Wt = min(W, WIDTH_TILE)
+    nT = W // Wt
+    snt = int(sentinel)    # python literal — traced captures are
+    #                        rejected by pallas_call
+
+    def kernel(a_ref, x_ref, y_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            y_ref[...] = jnp.full_like(y_ref, snt)
+
+        a = a_ref[0]                                  # (128, Wt*128)
+        xs = x_ref[0][:, 0]                           # (Wt*128,)
+        big = jnp.where(a != 0, xs[None, :], jnp.int32(snt))
+        y_ref[0, :, 0] = jnp.minimum(y_ref[0, :, 0],
+                                     jnp.min(big, axis=1))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(R, nT),
+        in_specs=[
+            pl.BlockSpec((1, LANES, Wt * LANES),
+                         lambda r, t: (r, 0, t)),
+            pl.BlockSpec((1, Wt * LANES, 1), lambda r, t: (r, t, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, LANES, 1), lambda r, t: (r, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((R, LANES, 1), jnp.int32),
+        interpret=interpret,
+    )(panel, xg)

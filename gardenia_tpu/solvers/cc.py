@@ -54,34 +54,66 @@ def _coo(g):
     return src, dst
 
 
-def cc_sv(g) -> CCResult:
-    """Gather-only Shiloach-Vishkin: per round one min-select slab SpMV
+def cc_sv(g, *, layout: str = "auto") -> CCResult:
+    """Gather-only Shiloach-Vishkin: per round one min-select sweep
     (in+out directions for directed graphs) gives each vertex its
     minimum neighbor label; hooking scatters only m root entries (not
     2*nnz edge entries — scalar scatters are the expensive op on TPU,
-    PERFORMANCE.md), then full pointer jumping."""
-    from gardenia_tpu.ops import I32_MIN_SELECT2, spmv_ell
+    PERFORMANCE.md), then full pointer jumping.
 
+    On TPU the sweep rides the hybrid layout: dense panels run a VPU
+    masked-min Pallas kernel (ops/pallas_bsr.dense_panel_minselect —
+    the hybrid's min-semiring counterpart to the MXU plus-times path)
+    and only the remainder pays rowsel gathers; labels live in
+    relabeled id space and map back at the end."""
+    from gardenia_tpu.ops import I32_MIN_SELECT2, spmv_ell
+    from gardenia_tpu.solvers.bfs import _resolve_layout
+
+    layout = _resolve_layout(layout)
     m = g.m
+    SENT = np.int32(np.iinfo(np.int32).max)
 
     def build():
-        ells = [g.ell()]
-        if not g.symmetric:
-            ells.append(g.ell(reverse=True))
+        if layout == "hybrid":
+            from gardenia_tpu.core.relabel import relabeled
+            from gardenia_tpu.ops.bsr import spmv_hybrid_min_select
+            rel = relabeled(g)
+            hybs = [rel.graph.hybrid()]
+            if not g.symmetric:
+                hybs.append(rel.graph.hybrid(reverse=True))
+            new_of_old = jnp.asarray(rel.new_of_old)
+            old_of_new = jnp.asarray(rel.old_of_new)
+        else:
+            hybs = None
+            new_of_old = old_of_new = None
+            ells = [g.ell()]
+            if not g.symmetric:
+                ells.append(g.ell(reverse=True))
 
-        @jax.jit
-        def run(comp0):
+        def sweep(mats, comp):
+            if layout == "hybrid":
+                from gardenia_tpu.ops.bsr import spmv_hybrid_min_select
+                nbr = None
+                for h in mats:
+                    y = spmv_hybrid_min_select(h, comp, num_rows=m,
+                                               sentinel=int(SENT))
+                    nbr = y if nbr is None else jnp.minimum(nbr, y)
+                return nbr
+            nbr = None
+            for ell in mats:
+                y = spmv_ell(ell, comp, semiring=I32_MIN_SELECT2,
+                             num_rows=m)
+                nbr = y if nbr is None else jnp.minimum(nbr, y)
+            return nbr
+
+        def run(comp0, mats, new_of_old_, old_of_new_):
             def cond(state):
                 _, changed, _ = state
                 return changed
 
             def body(state):
                 comp, _, it = state
-                nbr = None
-                for ell in ells:
-                    y = spmv_ell(ell, comp, semiring=I32_MIN_SELECT2,
-                                 num_rows=m)
-                    nbr = y if nbr is None else jnp.minimum(nbr, y)
+                nbr = sweep(mats, comp)
                 new = jnp.minimum(comp, nbr)
                 # hook each vertex's current root down to its new label,
                 # and the new label's root likewise (two m-sized
@@ -94,10 +126,21 @@ def cc_sv(g) -> CCResult:
 
             comp, _, it = jax.lax.while_loop(
                 cond, body, (comp0, jnp.bool_(True), jnp.int32(0)))
+            if new_of_old_ is not None:
+                # back to original id space: positions via new_of_old,
+                # label values via old_of_new
+                from gardenia_tpu.ops import rowsel
+                comp = rowsel.take(old_of_new_,
+                                   rowsel.take(comp, new_of_old_))
             return CCResult(comp, it)
-        return run
 
-    run = g._dev(("cc_sv_run",), build)
+        if layout == "hybrid":
+            jitted = jax.jit(run)
+            return lambda c0: jitted(c0, hybs, new_of_old, old_of_new)
+        jitted = jax.jit(lambda c0: run(c0, ells, None, None))
+        return jitted
+
+    run = g._dev(("cc_sv_run", layout), build)
     return run(jnp.arange(m, dtype=jnp.int32))
 
 
