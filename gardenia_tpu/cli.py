@@ -14,7 +14,18 @@ metrics, and the serial-oracle verdict 'Correct'/'Wrong'.
 
 from __future__ import annotations
 
+import os
 import sys
+
+# persistent XLA compile cache (same location as bench.py): fused
+# solver loops take minutes to compile through the axon remote-compile
+# tunnel; cache them across CLI processes (run.py spawns one per
+# kernel x dataset).  Must be set before jax initializes.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".bench_cache", "xla"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 import numpy as np
 

@@ -258,11 +258,46 @@ def _pad_operand(x: jax.Array, num_cols: int) -> jax.Array:
     return flat.at[:num_cols].set(x.astype(jnp.float32)).reshape(qx, LANES)
 
 
+def _split_bf16(flat: jax.Array):
+    """f32 -> (hi, lo) bf16 halves with hi + lo == x to ~2^-16 relative.
+
+    hi is the mantissa TRUNCATION of x through integer bit masking
+    (exactly bf16-representable), lo = bf16(x - hi).  The masking
+    matters: the obvious formulation `lo = (x - f32(bf16(x)))
+    .astype(bf16)` MISCOMPILES on the axon toolchain — under
+    xla_allow_excess_precision the convert round-trip folds into bf16
+    arithmetic and lo materializes as ZERO (measured: chesapeake PR
+    stalled at 6.4e-4 L1 with every dense product silently
+    single-bf16).  Here hi_f carries no bf16 provenance (it comes from
+    a bitcast), so the subtraction is honest f32 and lo survives."""
+    bits = jax.lax.bitcast_convert_type(flat, jnp.uint32)
+    hi_f = jax.lax.bitcast_convert_type(
+        bits & np.uint32(0xFFFF0000), jnp.float32)
+    return hi_f.astype(jnp.bfloat16), (flat - hi_f).astype(jnp.bfloat16)
+
+
+# XLA:TPU does not guarantee f32-faithful math for small/odd matmul
+# shapes under the DEFAULT precision: measured on v5e/axon, a single
+# (1,128,128)@(128,2) split-bf16 einsum errs 7.7e-3 abs (far beyond
+# split-bf16's 2^-16 — the f32 accumulation type is not honored), and
+# f32 matmuls default to single-pass-bf16 MXU passes (Precision.
+# DEFAULT) unlike CPU's true f32 — chesapeake PR stalled at 6.4e-4 L1
+# until the small-dense branch forced f32 operands AND
+# Precision.HIGHEST.  Large shapes are empirically exact (RMAT-20 PR
+# converges to 1e-4 L1 in 8 iterations, matching CPU).  Below this
+# many blocks the dense part upcasts — the traffic penalty is
+# irrelevant at that size.  The Pallas kernel is unaffected (Mosaic
+# jnp.dot with preferred_element_type=f32 accumulates in f32).
+SMALL_DENSE_F32_BLOCKS = 4096
+
+
 def _dense_apply(dense: Tuple[DensePanel, ...], x3d: jax.Array, mb: int,
                  S: int, split: bool, use_pallas: bool) -> jax.Array:
     """sum over panels of panel @ x rows, assembled into (mb, 128, S)
     f32 by row scatter-add (split slots of one row may repeat)."""
     y3d = jnp.zeros((mb, LANES, S), jnp.float32)
+    force_f32 = not use_pallas and _pallas_ok() and \
+        sum(p.src.size for p in dense) < SMALL_DENSE_F32_BLOCKS
     for p in dense:
         R, W = p.src.shape
         a = p.panel
@@ -273,11 +308,17 @@ def _dense_apply(dense: Tuple[DensePanel, ...], x3d: jax.Array, mb: int,
             from gardenia_tpu.ops.pallas_bsr import dense_panel_matmul
             part = dense_panel_matmul(a, xg, S, split=split)
         else:
-            if a.dtype == jnp.int8:
+            precision = None
+            if force_f32:
+                a = a.astype(jnp.float32)
+                xg = xg.astype(jnp.float32)
+                precision = jax.lax.Precision.HIGHEST
+            elif a.dtype == jnp.int8:
                 a = a.astype(jnp.bfloat16)
             if a.dtype == jnp.float32:
                 xg = xg.astype(jnp.float32)
             part = jnp.einsum("riw,rwk->rik", a, xg,
+                              precision=precision,
                               preferred_element_type=jnp.float32)
             if split:
                 part = part[..., :S] + part[..., S:]
@@ -309,8 +350,7 @@ def spmv_hybrid(hyb: HybridMatrix, x: jax.Array, *, num_rows: int,
             x3d = flat.reshape(qx, LANES, 1)           # weighted: exact
             split = False
         else:
-            hi = flat.astype(jnp.bfloat16)
-            lo = (flat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            hi, lo = _split_bf16(flat)
             x3d = jnp.concatenate([hi, lo], axis=1).reshape(qx, LANES, 2)
             split = True
         y2d = _dense_apply(hyb.dense, x3d, mb, 1, split,
@@ -375,8 +415,7 @@ def _pad_operand_batched(x2d: jax.Array, num_cols: int,
     x = x2d.astype(jnp.float32)
     flat = jnp.zeros((qx * LANES, S), jnp.float32).at[:num_cols].set(x)
     if exact:
-        hi = flat.astype(jnp.bfloat16)
-        lo = (flat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        hi, lo = _split_bf16(flat)
         flat = jnp.concatenate([hi, lo], axis=1)       # (rows, 2S)
         return flat.reshape(qx, LANES, 2 * S)
     return flat.astype(jnp.bfloat16).reshape(qx, LANES, S)

@@ -188,3 +188,22 @@ def test_spmv_solver_hybrid_variant():
     exp = _oracle_spmv(g, x, w)
     scale = max(1e-9, float(np.abs(exp).max()))
     assert np.abs(y_h - exp).max() / scale < 2e-4
+
+
+def test_split_bf16_reconstructs():
+    """The truncation bitmask split reconstructs x to ~2^-16 relative
+    with a NONZERO lo half (the arithmetic round-based split
+    miscompiles under xla_allow_excess_precision — lo collapses to
+    zero; see ops/bsr._split_bf16)."""
+    import jax
+    import jax.numpy as jnp
+    from gardenia_tpu.ops.bsr import _split_bf16
+    x = (np.random.default_rng(3).random(4096).astype(np.float32)
+         * 1e3 - 500.0)
+    hi, lo = jax.jit(_split_bf16)(jnp.asarray(x))
+    hi = np.asarray(hi).astype(np.float32)
+    lo = np.asarray(lo).astype(np.float32)
+    err = np.abs(hi + lo - x) / np.maximum(np.abs(x), 1e-6)
+    assert err.max() < 2 ** -15
+    # hi is a truncation: |lo| reaches ~x * 2^-8, far from zero
+    assert np.abs(lo).max() > 1e-3
