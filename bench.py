@@ -69,6 +69,8 @@ def warm_hybrid(g, scale: int) -> None:
     from gardenia_tpu.core.relabel import Relabeled
     from gardenia_tpu.ops.bsr import build_hybrid
 
+    assert g.symmetric and g.weights is None, \
+        "warm_hybrid serves the symmetric unweighted bench graphs only"
     path = os.path.join(
         CACHE_DIR, f"hyb{scale}_v{_HYBRID_CACHE_VERSION}.pkl")
     if os.path.exists(path):
@@ -87,8 +89,8 @@ def warm_hybrid(g, scale: int) -> None:
     hyb = jax.tree_util.tree_map(jax.device_put, host)
     rel = Relabeled(g2, new_of_old, old_of_new)
     g._dev(("relabel_degree",), lambda: rel)
-    for reverse in (False, True):
-        g2._dev(("hybrid", reverse, False, 16), lambda: hyb)
+    # symmetric graphs normalize reverse->False in Graph.hybrid's key
+    g2._dev(("hybrid", False, False, 16), lambda: hyb)
 
 
 def bench_pr(scale: int):

@@ -276,19 +276,31 @@ def _split_bf16(flat: jax.Array):
     return hi_f.astype(jnp.bfloat16), (flat - hi_f).astype(jnp.bfloat16)
 
 
-# XLA:TPU does not guarantee f32-faithful math for small/odd matmul
-# shapes under the DEFAULT precision: measured on v5e/axon, a single
-# (1,128,128)@(128,2) split-bf16 einsum errs 7.7e-3 abs (far beyond
-# split-bf16's 2^-16 — the f32 accumulation type is not honored), and
-# f32 matmuls default to single-pass-bf16 MXU passes (Precision.
-# DEFAULT) unlike CPU's true f32 — chesapeake PR stalled at 6.4e-4 L1
-# until the small-dense branch forced f32 operands AND
-# Precision.HIGHEST.  Large shapes are empirically exact (RMAT-20 PR
-# converges to 1e-4 L1 in 8 iterations, matching CPU).  Below this
-# many blocks the dense part upcasts — the traffic penalty is
-# irrelevant at that size.  The Pallas kernel is unaffected (Mosaic
-# jnp.dot with preferred_element_type=f32 accumulates in f32).
+# XLA:TPU does not guarantee f32-faithful math under the DEFAULT
+# matmul precision: measured on v5e/axon, a single (1,128,128)@(128,2)
+# split-bf16 einsum errs 7.7e-3 abs (the f32 accumulation type is not
+# honored for small/odd shapes), and f32@f32 matmuls default to lossy
+# bf16 MXU passes unlike CPU's true f32 — chesapeake PR stalled at
+# 6.4e-4 L1 until the small-dense branch forced f32 operands at
+# Precision.HIGHEST.  Policy:
+#   * small dense parts (< SMALL_DENSE_F32_BLOCKS blocks, XLA path):
+#     plain f32 operand (no split), Precision.HIGHEST — the traffic
+#     penalty is irrelevant at that size;
+#   * f32 (weighted) panels at any size: Precision.HIGHEST — weighted
+#     products must not silently drop to one bf16 pass; the dense part
+#     is bandwidth-dominated so the extra MXU passes hide;
+#   * large int8/bf16 panels: split-bf16 operand, DEFAULT precision —
+#     bf16 x bf16 with f32 accumulation is empirically exact at these
+#     shapes (RMAT-20 PR converges to 1e-4 L1, matching CPU).
+# The Pallas kernel is unaffected (Mosaic jnp.dot with
+# preferred_element_type=f32 accumulates in f32).
 SMALL_DENSE_F32_BLOCKS = 4096
+
+
+def _small_dense(dense: Tuple[DensePanel, ...], use_pallas: bool) -> bool:
+    """True when the XLA path should run plain f32 at HIGHEST."""
+    return not use_pallas and _pallas_ok() and \
+        sum(p.src.size for p in dense) < SMALL_DENSE_F32_BLOCKS
 
 
 def _dense_apply(dense: Tuple[DensePanel, ...], x3d: jax.Array, mb: int,
@@ -296,8 +308,7 @@ def _dense_apply(dense: Tuple[DensePanel, ...], x3d: jax.Array, mb: int,
     """sum over panels of panel @ x rows, assembled into (mb, 128, S)
     f32 by row scatter-add (split slots of one row may repeat)."""
     y3d = jnp.zeros((mb, LANES, S), jnp.float32)
-    force_f32 = not use_pallas and _pallas_ok() and \
-        sum(p.src.size for p in dense) < SMALL_DENSE_F32_BLOCKS
+    force_f32 = _small_dense(dense, use_pallas)
     for p in dense:
         R, W = p.src.shape
         a = p.panel
@@ -311,12 +322,11 @@ def _dense_apply(dense: Tuple[DensePanel, ...], x3d: jax.Array, mb: int,
             precision = None
             if force_f32:
                 a = a.astype(jnp.float32)
-                xg = xg.astype(jnp.float32)
-                precision = jax.lax.Precision.HIGHEST
             elif a.dtype == jnp.int8:
                 a = a.astype(jnp.bfloat16)
             if a.dtype == jnp.float32:
                 xg = xg.astype(jnp.float32)
+                precision = jax.lax.Precision.HIGHEST
             part = jnp.einsum("riw,rwk->rik", a, xg,
                               precision=precision,
                               preferred_element_type=jnp.float32)
@@ -346,8 +356,11 @@ def spmv_hybrid(hyb: HybridMatrix, x: jax.Array, *, num_rows: int,
         qx = x2d.shape[0]
         f32_panels = hyb.dense[0].panel.dtype == jnp.float32
         flat = x2d.reshape(-1, 1)
-        if f32_panels:
-            x3d = flat.reshape(qx, LANES, 1)           # weighted: exact
+        if f32_panels or _small_dense(hyb.dense, use_pallas):
+            # plain f32 operand (K=1): exact and half the work of a
+            # split — taken by weighted panels and by the small-dense
+            # accuracy branch (which upcasts A to f32 too)
+            x3d = flat.reshape(qx, LANES, 1)
             split = False
         else:
             hi, lo = _split_bf16(flat)
@@ -447,9 +460,10 @@ def spmv_hybrid_batched(hyb: HybridMatrix, x2d: jax.Array, *,
 
     if hyb.dense:
         f32_panels = hyb.dense[0].panel.dtype == jnp.float32
-        if f32_panels:
-            # weighted: plain f32 operand, K = S — exact and half the
-            # traffic/FLOPs of a split operand
+        if f32_panels or _small_dense(hyb.dense, use_pallas):
+            # plain f32 operand, K = S — exact and half the
+            # traffic/FLOPs of a split operand (weighted panels, and
+            # the small-dense accuracy branch which upcasts A too)
             qx = (n + LANES - 1) // LANES
             flat = jnp.zeros((qx * LANES, S), jnp.float32) \
                 .at[:n].set(x2d.astype(jnp.float32))

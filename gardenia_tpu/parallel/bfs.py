@@ -102,10 +102,8 @@ def bfs_multi_source_dist(g, sources, *, mesh=None,
     Sl = S // n
 
     def build():
-        rows = np.repeat(np.arange(m, dtype=np.int32),
-                         np.diff(g.in_rowptr))
-        in_dst = jnp.asarray(rows)
-        in_src = jnp.asarray(np.asarray(g.in_colidx))
+        from gardenia_tpu.solvers.bc import _coo_sorted
+        in_dst, in_src = _coo_sorted(g, reverse=True)
 
         @partial(shard_map, mesh=mesh,
                  in_specs=(P("v"), P(), P()),
@@ -138,6 +136,7 @@ def bfs_multi_source_dist(g, sources, *, mesh=None,
         jitted = jax.jit(run)
         return lambda s: jitted(s, in_dst, in_src)
 
-    run = g._dev(("msbfs_dp_run", S, id(mesh)), build)
+    run = g._dev(("msbfs_dp_run", S, id(mesh)), build,
+                 retain=mesh)
     dist, depth = run(jnp.asarray(sources))
     return BFSResult(dist, depth)

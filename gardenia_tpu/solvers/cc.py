@@ -76,7 +76,6 @@ def cc_sv(g, *, layout: str = "auto") -> CCResult:
     def build():
         if layout == "hybrid":
             from gardenia_tpu.core.relabel import relabeled
-            from gardenia_tpu.ops.bsr import spmv_hybrid_min_select
             rel = relabeled(g)
             hybs = [rel.graph.hybrid()]
             if not g.symmetric:
