@@ -54,22 +54,28 @@ def _coo(g):
     return src, dst
 
 
-def cc_sv(g, *, layout: str = "auto") -> CCResult:
+def cc_sv(g, *, layout: str = "ell") -> CCResult:
     """Gather-only Shiloach-Vishkin: per round one min-select sweep
     (in+out directions for directed graphs) gives each vertex its
     minimum neighbor label; hooking scatters only m root entries (not
     2*nnz edge entries — scalar scatters are the expensive op on TPU,
     PERFORMANCE.md), then full pointer jumping.
 
-    On TPU the sweep rides the hybrid layout: dense panels run a VPU
-    masked-min Pallas kernel (ops/pallas_bsr.dense_panel_minselect —
-    the hybrid's min-semiring counterpart to the MXU plus-times path)
-    and only the remainder pays rowsel gathers; labels live in
-    relabeled id space and map back at the end."""
+    layout='hybrid' (EXPERIMENTAL, opt-in): the sweep rides the hybrid
+    layout — dense panels run a VPU masked-min Pallas kernel
+    (ops/pallas_bsr.dense_panel_minselect, the hybrid's min-semiring
+    counterpart to the MXU plus-times path) and only the remainder
+    pays rowsel gathers; labels live in relabeled id space and map
+    back at the end.  Correct on the virtual-mesh/interpret tests, but
+    the fused while_loop currently exceeds the VMEM budget at compile
+    on v5e for multi-bucket graphs ("Ran out of memory in memory space
+    vmem while allocating on stack") — keep 'ell' as the default until
+    the kernels move to scoped VMEM."""
     from gardenia_tpu.ops import I32_MIN_SELECT2, spmv_ell
     from gardenia_tpu.solvers.bfs import _resolve_layout
 
-    layout = _resolve_layout(layout)
+    if layout == "auto":
+        layout = _resolve_layout(layout)
     m = g.m
     SENT = np.int32(np.iinfo(np.int32).max)
 
