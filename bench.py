@@ -245,15 +245,22 @@ def bench_bc(scale: int, sources: int = 128):
 BASELINE_SGD_MRPS = 500.0   # A100-class MF-SGD ratings/s (K=20)
 
 
-def bench_sgd(scale: int, epochs: int = 10):
+def bench_sgd(scale: int, epochs: int = None):
     """SGD matrix factorization training throughput (ratings/s x K=20
     latent dims; einsum contractions ride the MXU).  Mini-batched epochs
     with degree-normalized per-vertex updates converge at step 0.1 on
     power-law data (full-batch needed a 1/max_degree step and barely
-    moved the RMSE — round-1 finding)."""
+    moved the RMSE — round-1 finding).
+
+    epochs defaults to 10, but 3 at scale >= 20: the axon worker kills
+    single device programs running ~2+ minutes ("TPU worker process
+    crashed or restarted"; 3 epochs at scale 20 measured OK, 10
+    crashed) — the per-rating rate is steady-state either way."""
     import numpy as np
     from gardenia_tpu.solvers.sgd import sgd_solver
     from gardenia_tpu.utils.timer import time_op
+    if epochs is None:
+        epochs = 10 if scale < 20 else 3
     g = get_graph(scale, need_reverse=False)
     rng = np.random.default_rng(13)
     g.weights = rng.integers(1, 6, g.nnz).astype(np.float64)  # ratings
@@ -275,13 +282,16 @@ BASELINE_SSSP_GTEPS = 1.0   # A100-class delta-stepping on road graphs
 def bench_sssp(scale: int):
     """Delta-stepping on a weighted grid (road-network class — the
     road_usa stand-in, BASELINE config 4). side = 2^(scale/2) so the
-    vertex count tracks `scale`; fused on-device bucket loop."""
+    vertex count tracks `scale`, capped at 512: the grid-1024 solve's
+    ~2000 sequential bucket rounds exceed the axon worker's single
+    -program tolerance ("TPU worker process crashed or restarted").
+    Fused on-device bucket loop."""
     import numpy as np
     from gardenia_tpu.core.generate import grid_edges
     from gardenia_tpu.core.graph import from_edges
     from gardenia_tpu.solvers.sssp import sssp_solver
     from gardenia_tpu.utils.timer import time_op
-    side = 1 << (scale // 2)
+    side = min(512, 1 << (scale // 2))
     g = from_edges(grid_edges(side), symmetrize=True, need_reverse=True)
     res, secs = time_op(lambda: sssp_solver(g, 0, 512, variant="delta"),
                         warmup=1, iters=2)
