@@ -54,3 +54,48 @@ def test_cluster_threshold_weighted_levels():
     high = cluster_threshold(g, threshold=8.0)
     # raising the threshold can only split clusters
     assert high.num_clusters >= low.num_clusters
+
+
+def test_cli_flags_positional_anywhere(capsys):
+    """--flags may trail the positional args (the reference binaries
+    are purely positional; a trailing --device once crashed the
+    symmetrize parse and silently skipped the solve)."""
+    from tests.conftest import DATASETS
+    from gardenia_tpu.cli import main
+    rc = main(["cc", "mtx", f"{DATASETS}/chesapeake.mtx", "1",
+               "--device=cpu"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Correct" in out
+    rc = main(["cc", "--device=cpu", "mtx",
+               f"{DATASETS}/chesapeake.mtx", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Correct" in out
+    assert main(["cc", "--bogus-flag", "mtx", "x"]) == 1
+
+
+def test_bench_warm_hybrid_contract_and_consistency(tmp_path,
+                                                    monkeypatch):
+    """warm_hybrid only serves symmetric unweighted graphs, and the
+    seeded caches reproduce the cold-path PR scores exactly."""
+    import numpy as np
+    import bench
+    from tests.conftest import random_graph
+    from gardenia_tpu.solvers.pr import pr_solver
+    monkeypatch.setattr(bench, "CACHE_DIR", str(tmp_path))
+    g = random_graph(m=300, avg_deg=6, seed=2, symmetric=True)
+    bench.warm_hybrid(g, scale=0)
+    warm = pr_solver(g, layout="hybrid")
+    g2 = random_graph(m=300, avg_deg=6, seed=2, symmetric=True)
+    cold = pr_solver(g2, layout="hybrid")
+    np.testing.assert_array_equal(np.asarray(warm.scores),
+                                  np.asarray(cold.scores))
+    # second call loads the pickle it just wrote
+    g3 = random_graph(m=300, avg_deg=6, seed=2, symmetric=True)
+    bench.warm_hybrid(g3, scale=0)
+    reloaded = pr_solver(g3, layout="hybrid")
+    np.testing.assert_array_equal(np.asarray(reloaded.scores),
+                                  np.asarray(cold.scores))
+    directed = random_graph(m=60, avg_deg=3, seed=4)
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        bench.warm_hybrid(directed, scale=1)
