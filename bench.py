@@ -71,20 +71,36 @@ def warm_hybrid(g, scale: int) -> None:
 
     assert g.symmetric and g.weights is None, \
         "warm_hybrid serves the symmetric unweighted bench graphs only"
+    # key carries nnz + threshold so a changed generator/threshold can
+    # never serve a stale layout; load failures (truncated pickle from
+    # a killed process) fall back to a rebuild
+    thresh = 16
     path = os.path.join(
-        CACHE_DIR, f"hyb{scale}_v{_HYBRID_CACHE_VERSION}.pkl")
+        CACHE_DIR,
+        f"hyb{scale}_n{g.nnz}_t{thresh}_v{_HYBRID_CACHE_VERSION}.pkl")
+    cached = None
     if os.path.exists(path):
-        rel_csr, new_of_old, old_of_new, host = \
-            pickle.load(open(path, "rb"))
+        try:
+            with open(path, "rb") as f:
+                cached = pickle.load(f)
+        except Exception:
+            os.unlink(path)
+    if cached is not None:
+        rel_csr, new_of_old, old_of_new, host = cached
         g2 = Graph(rel_csr[0], rel_csr[1], None, num_cols=g.n,
                    symmetric=True)
     else:
+        import tempfile
+
         from gardenia_tpu.core.relabel import degree_relabel
         g2, new_of_old, old_of_new = degree_relabel(g)
         host = build_hybrid(g2.rowptr, g2.colidx, None, num_cols=g2.n,
-                            dense_threshold=16)
-        pickle.dump(((g2.rowptr, g2.colidx), new_of_old, old_of_new,
-                     host), open(path, "wb"), protocol=4)
+                            dense_threshold=thresh)
+        fd, tmp = tempfile.mkstemp(dir=CACHE_DIR, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(((g2.rowptr, g2.colidx), new_of_old, old_of_new,
+                         host), f, protocol=4)
+        os.replace(tmp, path)
     import jax
     hyb = jax.tree_util.tree_map(jax.device_put, host)
     rel = Relabeled(g2, new_of_old, old_of_new)
@@ -252,15 +268,15 @@ def bench_sgd(scale: int, epochs: int = None):
     power-law data (full-batch needed a 1/max_degree step and barely
     moved the RMSE — round-1 finding).
 
-    epochs defaults to 10, but 3 at scale >= 20: the axon worker kills
-    single device programs running ~2+ minutes ("TPU worker process
-    crashed or restarted"; 3 epochs at scale 20 measured OK, 10
-    crashed) — the per-rating rate is steady-state either way."""
+    Round 3: the full 10 epochs run at EVERY scale — the solver
+    host-segments the epoch loop (utils/segment.py, 4 epochs per
+    device program), so the axon worker's ~2-minute single-program
+    kill no longer caps the run (round 2 had to stop at 3 epochs)."""
     import numpy as np
     from gardenia_tpu.solvers.sgd import sgd_solver
     from gardenia_tpu.utils.timer import time_op
     if epochs is None:
-        epochs = 10 if scale < 20 else 3
+        epochs = 10
     g = get_graph(scale, need_reverse=False)
     rng = np.random.default_rng(13)
     g.weights = rng.integers(1, 6, g.nnz).astype(np.float64)  # ratings
@@ -280,23 +296,26 @@ BASELINE_SSSP_GTEPS = 1.0   # A100-class delta-stepping on road graphs
 
 
 def bench_sssp(scale: int):
-    """Delta-stepping on a weighted grid (road-network class — the
-    road_usa stand-in, BASELINE config 4). side = 2^(scale/2) so the
-    vertex count tracks `scale`, capped at 512: the grid-1024 solve's
-    ~2000 sequential bucket rounds exceed the axon worker's single
-    -program tolerance ("TPU worker process crashed or restarted").
-    Fused on-device bucket loop."""
+    """Near-far delta-stepping on a weighted grid (road-network class —
+    the road_usa stand-in, BASELINE config 4). side = 2^(scale/2) so
+    the vertex count tracks `scale` — UNCAPPED since round 3: the
+    solver's persistent compact frontiers (solvers/sssp_nf.py) do
+    O(frontier) work per round and the loop is host-segmented
+    (utils/segment.py), so grid-1024's thousands of bucket rounds
+    neither sweep O(m) each nor exceed the axon worker's ~2-minute
+    single-program kill."""
     import numpy as np
     from gardenia_tpu.core.generate import grid_edges
     from gardenia_tpu.core.graph import from_edges
     from gardenia_tpu.solvers.sssp import sssp_solver
     from gardenia_tpu.utils.timer import time_op
-    side = min(512, 1 << (scale // 2))
+    side = 1 << (scale // 2)
     g = from_edges(grid_edges(side), symmetrize=True, need_reverse=True)
-    res, secs = time_op(lambda: sssp_solver(g, 0, 512, variant="delta"),
+    res, secs = time_op(lambda: sssp_solver(g, 0, 512,
+                                            variant="nearfar"),
                         warmup=1, iters=2)
     gteps = g.nnz / secs / 1e9
-    return {"metric": f"sssp_delta_gteps_grid{side}",
+    return {"metric": f"sssp_nf_gteps_grid{side}",
             "value": round(gteps, 4), "unit": "GTEPS",
             "vs_baseline": round(gteps / BASELINE_SSSP_GTEPS, 4),
             "detail": {"rounds": int(res.iterations),

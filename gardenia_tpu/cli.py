@@ -380,7 +380,11 @@ def main(argv=None):
     # reference binaries are purely positional; --flags are ours)
     flags = [a for a in argv[1:] if a.startswith("--")]
     rest = [a for a in argv[1:] if not a.startswith("--")]
+    # two passes so flag ORDER never matters: --device/--variant apply
+    # first (a --device after --dist must still select the backend
+    # before the mesh is probed), then --dist dispatches
     variant = None
+    dist = None
     for flag in flags:
         if flag.startswith("--variant="):
             variant = flag.split("=", 1)[1]
@@ -389,20 +393,24 @@ def main(argv=None):
             import jax
             jax.config.update("jax_platforms", flag.split("=", 1)[1])
         elif flag.startswith("--dist="):
-            # multichip run over an n-device mesh (falls back to n
-            # virtual CPU devices when fewer real chips are attached)
-            n = int(flag.split("=", 1)[1])
-            import jax
-            if jax.device_count() < n:
-                print(f"(only {jax.device_count()} device(s); re-run "
-                      f"with XLA_FLAGS=--xla_force_host_platform_"
-                      f"device_count={n} and --device=cpu for a "
-                      f"virtual mesh)")
-                return 1
-            return _run_dist(kernel, n, rest)
+            dist = int(flag.split("=", 1)[1])
         else:
             print(f"unknown flag {flag!r}")
             return 1
+    if dist is not None:
+        # multichip run over an n-device mesh (falls back to n
+        # virtual CPU devices when fewer real chips are attached)
+        import jax
+        if variant is not None:
+            print(f"(--variant={variant} is ignored for --dist runs: "
+                  f"the multichip solvers pick their own mapping)")
+        if jax.device_count() < dist:
+            print(f"(only {jax.device_count()} device(s); re-run "
+                  f"with XLA_FLAGS=--xla_force_host_platform_"
+                  f"device_count={dist} and --device=cpu for a "
+                  f"virtual mesh)")
+            return 1
+        return _run_dist(kernel, dist, rest)
     if variant:
         KERNELS[kernel](rest, variant=variant)
     else:

@@ -44,6 +44,22 @@ LANES = 128
 WIDTH_TILE = 8
 
 
+def available() -> bool:
+    """True when pallas_call will actually lower here: a real TPU
+    backend, or the pltpu.force_tpu_interpret_mode() testing context.
+    Callers use this to fall back to XLA paths instead of letting
+    pallas_call die with an opaque unsupported-backend error."""
+    from gardenia_tpu.ops import rowsel
+    if rowsel.enabled():
+        return True
+    try:
+        from jax._src import config as _jcfg
+        return _jcfg.pallas_tpu_interpret_mode_context_manager.value \
+            is not None
+    except Exception:                                # pragma: no cover
+        return False
+
+
 def dense_panel_matmul(panel: jax.Array, xg: jax.Array, S: int, *,
                        split: bool = False,
                        interpret: bool = False) -> jax.Array:

@@ -76,6 +76,16 @@ def cc_sv(g, *, layout: str = "ell") -> CCResult:
 
     if layout == "auto":
         layout = _resolve_layout(layout)
+    if layout == "hybrid":
+        from gardenia_tpu.ops import pallas_bsr
+        if not pallas_bsr.available():
+            import warnings
+            warnings.warn(
+                "cc_sv layout='hybrid' needs a TPU backend (or "
+                "pltpu.force_tpu_interpret_mode()) for the Pallas "
+                "min-select panel kernel; falling back to layout='ell'",
+                stacklevel=2)
+            layout = "ell"
     m = g.m
     SENT = np.int32(np.iinfo(np.int32).max)
 

@@ -133,10 +133,15 @@ def make_sgd_epoch(src, dst, ratings, lam, step, num_users, num_items,
     return epoch, data
 
 
+DEFAULT_SEGMENT_EPOCHS = 4   # ~40 s/program at the measured RMAT-20
+#                              epoch cost — under the axon worker kill
+
+
 def sgd_solver(g, lam: float = DEFAULT_LAMBDA, step: float = DEFAULT_STEP,
                max_iters: int = DEFAULT_MAX_ITERS,
                epsilon: float = DEFAULT_EPSILON, seed: int = 0,
-               batches: int = None) -> SGDResult:
+               batches: int = None,
+               segment_epochs: int = DEFAULT_SEGMENT_EPOCHS) -> SGDResult:
     """Reference entry SGDSolver(m, n, nnz, row_offsets, column_indices,
     rating, user_lv, item_lv, ordering) (src/sgd/sgd.h:31).  g is the
     bipartite rating graph: rows = users, colidx = items (g.n items),
@@ -163,32 +168,47 @@ def sgd_solver(g, lam: float = DEFAULT_LAMBDA, step: float = DEFAULT_STEP,
         else:
             sgd_step, data = make_sgd_step(src, dst, ratings, lam,
                                            step, m, n)
-        return _build_run(sgd_step, max_iters, epsilon, data)
+        return _build_run(sgd_step, max_iters, epsilon, data,
+                          segment_epochs)
 
-    run = g._dev(("sgd_run", lam, step, max_iters, epsilon, batches),
-                 build)
+    run = g._dev(("sgd_run", lam, step, max_iters, epsilon, batches,
+                  segment_epochs), build)
     return run(jnp.asarray(init_latent(m, seed)),
                jnp.asarray(init_latent(n, seed + 1)))
 
 
-def _build_run(sgd_step, max_iters, epsilon, data):
-    @jax.jit
-    def run(ulv, ilv, data_):
-        def cond(state):
-            _, _, _, it, last = state
-            return jnp.logical_and(it < max_iters, last >= epsilon)
+def _build_run(sgd_step, max_iters, epsilon, data,
+               segment_epochs: int = 0):
+    """Epoch loop runner.  segment_epochs > 0 splits the training into
+    device programs of at most that many epochs (utils/segment.py) —
+    a 10-epoch RMAT-20 run is ~95 s in one program, over the axon
+    worker's ~2-minute kill once warmup/retries stack; segmented, each
+    program stays well under it and the factors never leave the
+    device.  The edge `data` rides in the segment CARRY (a jit
+    argument), never as a captured constant (HTTP 413 at scale)."""
+    from gardenia_tpu.utils.segment import build_segmented, run_segmented
 
-        def body(state):
-            ulv, ilv, hist, it, _ = state
-            ulv, ilv, rmse = sgd_step(ulv, ilv, data_)
-            return ulv, ilv, hist.at[it].set(rmse), it + 1, rmse
+    def cond(state):
+        _, _, _, it, last, _ = state
+        return jnp.logical_and(it < max_iters, last >= epsilon)
 
+    def body(state):
+        ulv, ilv, hist, it, _, data_ = state
+        ulv, ilv, rmse = sgd_step(ulv, ilv, data_)
+        return ulv, ilv, hist.at[it].set(rmse), it + 1, rmse, data_
+
+    seg = build_segmented(cond, body,
+                          segment_epochs if segment_epochs > 0
+                          else max(max_iters, 1))
+
+    def runner(ulv, ilv):
         hist0 = jnp.full((max_iters,), jnp.inf, jnp.float32)
-        state = (ulv, ilv, hist0, jnp.int32(0), jnp.float32(jnp.inf))
-        ulv, ilv, hist, it, _ = jax.lax.while_loop(cond, body, state)
+        state = (ulv, ilv, hist0, jnp.int32(0), jnp.float32(jnp.inf),
+                 data)
+        (ulv, ilv, hist, it, _, _), _ = run_segmented(seg, state)
         return SGDResult(ulv, ilv, hist, it)
 
-    return lambda ulv, ilv: run(ulv, ilv, data)
+    return runner
 
 
 def sgd_train_checkpointed(g, checkpointer, total_iters: int,

@@ -46,15 +46,16 @@ def _relax(in_ell, x_masked, m):
     return spmv_ell(in_ell, x_masked, semiring=I32_MIN_PLUS, num_rows=m)
 
 
-def _sssp_loop(g, in_ell, m: int, delta: int, use_delta: bool,
-               max_rounds: int, alpha: int = 15):
-    """Fused bucketed relaxation.  Each round relaxes the lowest
-    occupied bucket (the delta-stepping near pile, src/sssp/dstep.cu:163
+def _sssp_cond_body(g, in_ell, m: int, delta: int, use_delta: bool,
+                    max_rounds: int, alpha: int = 15):
+    """(cond, body) of the fused bucketed relaxation over carry
+    (dist, frontier, it).  Each round relaxes the lowest occupied
+    bucket (the delta-stepping near pile, src/sssp/dstep.cu:163
     near/far split: improved vertices re-enter their bucket until it
     drains, exactly the near-pile reprocessing); narrow buckets — the
     dominant case on road-class graphs — take the COMPACTED branch
     (vectorized expand + scatter-min over O(frontier edges)) and only
-    wide buckets pay the dense masked min-plus sweep.  Zero host syncs."""
+    wide buckets pay the dense masked min-plus sweep."""
     from gardenia_tpu.core import types as _T
     from gardenia_tpu.ops.frontier import (compact_mask,
                                            expand_frontier_edges)
@@ -67,46 +68,40 @@ def _sssp_loop(g, in_ell, m: int, delta: int, use_delta: bool,
     cap_e = _T.next_pow2(max(nnz // alpha, 256))
     cap_ids = min(_T.next_pow2(max(m, 2)), cap_e)
 
-    def run(source):
-        from gardenia_tpu.ops import rowsel
-        dist0 = jnp.full((m,), INF, jnp.int32).at[source].set(0)
-        frontier0 = jnp.zeros((m,), bool).at[source].set(True)
+    from gardenia_tpu.ops import rowsel
 
-        def cond(state):
-            _, frontier, it = state
-            return jnp.logical_and(jnp.any(frontier), it < max_rounds)
+    def cond(state):
+        _, frontier, it = state
+        return jnp.logical_and(jnp.any(frontier), it < max_rounds)
 
-        def sparse(args):
-            dist, active = args
-            ids = compact_mask(active & (deg > 0), cap_ids, m)
-            src, dst, valid, eid = expand_frontier_edges(
-                rowptr, colidx, ids, cap_e)
-            nd = rowsel.take(dist, src) + rowsel.take(wi, eid)
-            tgt = jnp.where(valid, dst, m)
-            return dist.at[tgt].min(nd, mode="drop")
+    def sparse(args):
+        dist, active = args
+        ids = compact_mask(active & (deg > 0), cap_ids, m)
+        src, dst, valid, eid = expand_frontier_edges(
+            rowptr, colidx, ids, cap_e)
+        nd = rowsel.take(dist, src) + rowsel.take(wi, eid)
+        tgt = jnp.where(valid, dst, m)
+        return dist.at[tgt].min(nd, mode="drop")
 
-        def dense(args):
-            dist, active = args
-            x = jnp.where(active, dist, INF)
-            return jnp.minimum(dist, _relax(in_ell, x, m))
+    def dense(args):
+        dist, active = args
+        x = jnp.where(active, dist, INF)
+        return jnp.minimum(dist, _relax(in_ell, x, m))
 
-        def body(state):
-            dist, frontier, it = state
-            if use_delta:
-                bucket = jnp.min(jnp.where(frontier, dist // delta, INF))
-                active = frontier & (dist // delta == bucket)
-            else:
-                active = frontier
-            scout = jnp.sum(jnp.where(active, deg, 0))
-            new_dist = jax.lax.cond(scout <= nnz // alpha, sparse,
-                                    dense, (dist, active))
-            improved = new_dist < dist
-            return new_dist, (frontier & ~active) | improved, it + 1
+    def body(state):
+        dist, frontier, it = state
+        if use_delta:
+            bucket = jnp.min(jnp.where(frontier, dist // delta, INF))
+            active = frontier & (dist // delta == bucket)
+        else:
+            active = frontier
+        scout = jnp.sum(jnp.where(active, deg, 0))
+        new_dist = jax.lax.cond(scout <= nnz // alpha, sparse,
+                                dense, (dist, active))
+        improved = new_dist < dist
+        return new_dist, (frontier & ~active) | improved, it + 1
 
-        dist, _, it = jax.lax.while_loop(
-            cond, body, (dist0, frontier0, jnp.int32(0)))
-        return SSSPResult(dist, it)
-    return run
+    return cond, body
 
 
 def sssp_hybrid(g, source: int = 0, delta: int = 1, *,
@@ -188,20 +183,49 @@ def sssp_hybrid(g, source: int = 0, delta: int = 1, *,
     return SSSPResult(dist, jnp.int32(rounds))
 
 
+DEFAULT_SEGMENT_ROUNDS = 4096   # ~30 s/segment at the measured
+#                                 ~7 ms/round on grid-class graphs —
+#                                 safely under the ~2-min worker kill
+
+
 def sssp_solver(g, source: int = 0, delta: int = 1, *,
                 variant: str = "delta",
-                max_rounds: int = None) -> SSSPResult:
+                max_rounds: int = None,
+                segment_rounds: int = DEFAULT_SEGMENT_ROUNDS,
+                checkpointer=None) -> SSSPResult:
     """Reference entry SSSPSolver(g, source, weight, dist, delta)
     (src/sssp/sssp.h:46). Int32 edge weights come from the graph
-    (g.weights) or default to 1."""
+    (g.weights) or default to 1.
+
+    The fused bucket loop runs host-SEGMENTED (utils/segment.py): each
+    device program executes at most `segment_rounds` rounds, so solves
+    that need minutes (grid-1024, road-USA class) survive the axon
+    worker's ~2-minute single-program kill; the carry stays on device
+    between segments and optionally round-trips through `checkpointer`.
+    """
     if variant == "hybrid":
         return sssp_hybrid(g, source, delta)
+    if variant == "nearfar":
+        from gardenia_tpu.solvers.sssp_nf import sssp_nearfar
+        return sssp_nearfar(g, source, delta,
+                            segment_rounds=segment_rounds)
+    from gardenia_tpu.utils.segment import build_segmented, run_segmented
     m = g.m
     if max_rounds is None:
         # worst case: every round settles at least one vertex
         max_rounds = 4 * m + 16
-    key = ("sssp_run", variant, int(delta), max_rounds)
-    run = g._dev(key, lambda: jax.jit(
-        _sssp_loop(g, _weighted_in_ell(g), m, max(1, int(delta)),
-                   variant == "delta", max_rounds)))
-    return run(jnp.int32(source))
+    key = ("sssp_run", variant, int(delta), max_rounds, segment_rounds)
+
+    def build():
+        cond, body = _sssp_cond_body(
+            g, _weighted_in_ell(g), m, max(1, int(delta)),
+            variant == "delta", max_rounds)
+        return build_segmented(cond, body, segment_rounds)
+
+    seg = g._dev(key, build)
+    dist0 = jnp.full((m,), INF, jnp.int32).at[source].set(0)
+    frontier0 = jnp.zeros((m,), bool).at[source].set(True)
+    (dist, _, it), _ = run_segmented(
+        seg, (dist0, frontier0, jnp.int32(0)),
+        checkpointer=checkpointer, checkpoint_every=1)
+    return SSSPResult(dist, it)

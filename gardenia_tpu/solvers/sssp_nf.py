@@ -1,0 +1,220 @@
+"""SSSP — near-far delta-stepping with PERSISTENT COMPACT frontiers.
+
+Reference: src/sssp/dstep.cu:86-122 — the GPU delta-stepping keeps
+near/far pile queues with threshold migration (mark_near_far splits
+relaxed vertices by dist < threshold; the far queue is re-split when
+the near pile drains).  The round-2 'delta' variant re-masked the full
+dense frontier every round: at grid-1024 that is thousands of fused
+rounds x O(m) masked sweeps — 4 orders of magnitude off the bar.
+
+TPU design — every hot round touches only COMPACT arrays:
+
+  state = (dist[m], q[Q], qn, fq[F], fn, thresh, ovf)
+
+  * NEAR round (qn > 0): pop the whole near queue, expand its
+    out-edges (ops/frontier.expand_frontier_edges over the static
+    capacity cap_e), scatter-min into dist; winning edges whose new
+    distance lands under `thresh` push their dst back into the near
+    queue (near-pile reprocessing), the rest append to the far queue.
+    Cost O(cap_e), independent of m.
+  * ADVANCE (qn == 0): migrate the threshold to the lowest occupied
+    far bucket and re-split the far queue (dstep.cu:122) — O(F) ops.
+    Stale far entries (already settled via another path) migrate into
+    a near round that relaxes them once more, harmlessly.
+  * DENSE REBUILD (ovf): any queue overflow — or a frontier whose
+    out-edge count exceeds cap_e (hub bursts on power-law graphs) —
+    falls back to ONE dense relax-all Bellman-Ford round and rebuilds
+    both queues from the improved mask.  Relax-all subsumes every
+    queued obligation, so overflowed pushes may simply be dropped;
+    this bounds all queue capacities without losing correctness.
+
+The loop is host-SEGMENTED (utils/segment.py): each device program
+runs at most `segment_rounds` rounds, so road-USA-class solves survive
+the axon worker's ~2-minute single-program kill; only a one-byte
+continue flag crosses the tunnel between segments.
+
+Distances are int32 with the MYINFINITY sentinel; INF + w < 2^31 keeps
+min-plus overflow-safe (common.h:66).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gardenia_tpu.core import types as T
+from gardenia_tpu.solvers.sssp import (SSSPResult, _relax,
+                                       _weighted_in_ell)
+
+INF = np.int32(T.MYINFINITY)
+
+
+def _default_caps(m: int, nnz: int):
+    """Near-queue capacity ~ the frontier band of a high-diameter
+    graph (O(sqrt(m)) on grids); edge capacity covers it at the
+    graph's mean degree with 2x slack.  Oversized frontiers take the
+    dense-rebuild path, so these are throughput knobs, not limits."""
+    q = T.next_pow2(int(np.clip(4 * int(np.sqrt(max(m, 1))),
+                                1024, 65536)))
+    mean_deg = max(4, -(-2 * nnz // max(m, 1)))
+    cap_e = T.next_pow2(max(256, min(q * mean_deg, max(nnz, 256))))
+    return q, 4 * q, cap_e
+
+
+def _nf_cond_body(g, m: int, delta: int, Q: int, F: int, cap_e: int,
+                  max_rounds: int):
+    from gardenia_tpu.ops import rowsel
+    from gardenia_tpu.ops.frontier import (compact_mask,
+                                           expand_frontier_edges)
+
+    nnz = g.nnz
+    rowptr, colidx = g.device_csr()
+    w = g.device_weights()
+    wi = jnp.ones((nnz,), jnp.int32) if w is None else w.astype(jnp.int32)
+    deg = g.device_degrees()
+    in_ell = _weighted_in_ell(g)
+    iq = jnp.arange(Q, dtype=jnp.int32)
+    if_ = jnp.arange(F, dtype=jnp.int32)
+
+    def cond(state):
+        _, _, qn, _, fn, _, it, ovf = state
+        work = (qn > 0) | (fn > 0) | ovf
+        return jnp.logical_and(work, it < max_rounds)
+
+    def _push(ids, sel, cap):
+        """Compact `ids[sel]` into a fresh cap-sized queue (sentinel
+        m); returns (queue, true count — may exceed cap)."""
+        pos = jnp.cumsum(sel.astype(jnp.int32)) - 1
+        tgt = jnp.where(sel & (pos < cap), pos, cap)
+        qout = jnp.full((cap,), m, jnp.int32).at[tgt].set(
+            ids, mode="drop")
+        return qout, jnp.sum(sel.astype(jnp.int32))
+
+    def near_round(state):
+        dist, q, qn, fq, fn, thresh, it, ovf = state
+        scout = jnp.sum(rowsel.take(deg, q, pad_value=0))
+
+        def relax(args):
+            dist, q, fq, fn, thresh = args
+            src, dst, valid, eid = expand_frontier_edges(
+                rowptr, colidx, q, cap_e)
+            nd = rowsel.take(dist, src) + rowsel.take(wi, eid)
+            tgt = jnp.where(valid, dst, m)
+            dist2 = dist.at[tgt].min(nd, mode="drop")
+            old_at = rowsel.take(dist, dst)
+            new_at = rowsel.take(dist2, dst)
+            winner = valid & (new_at < old_at) & (nd == new_at)
+            is_near = winner & (nd < thresh)
+            is_far = winner & ~is_near
+            q2, ncount = _push(dst, is_near, Q)
+            n_ovf = ncount > Q
+            # far pushes APPEND at fn
+            fpos = fn + jnp.cumsum(is_far.astype(jnp.int32)) - 1
+            ftgt = jnp.where(is_far & (fpos < F), fpos, F)
+            fq2 = fq.at[ftgt].set(dst, mode="drop")
+            fcount = jnp.sum(is_far.astype(jnp.int32))
+            f_ovf = fn + fcount > F
+            ovf2 = n_ovf | f_ovf
+            qn2 = jnp.where(n_ovf, 0, ncount)
+            fn2 = jnp.minimum(fn + fcount, F)
+            return dist2, q2, qn2, fq2, fn2, thresh, ovf2
+
+        def burst(args):
+            # frontier out-edges exceed cap_e (hub burst): hand the
+            # whole obligation to the dense-rebuild branch
+            dist, q, fq, fn, thresh = args
+            return (dist, jnp.full((Q,), m, jnp.int32), jnp.int32(0),
+                    fq, fn, thresh, jnp.bool_(True))
+
+        dist, q2, qn2, fq2, fn2, thresh, ovf2 = jax.lax.cond(
+            scout <= cap_e, relax, burst, (dist, q, fq, fn, thresh))
+        return dist, q2, qn2, fq2, fn2, thresh, it + 1, ovf2
+
+    def advance(state):
+        dist, q, qn, fq, fn, thresh, it, ovf = state
+        ids = jnp.where(if_ < fn, fq, m)
+        dv = rowsel.take(dist, ids, pad_value=int(INF))
+        valid = if_ < fn
+        bucket = jnp.where(valid, dv // delta, INF)
+        nm = jnp.min(bucket)
+        # max() keeps the threshold monotone: stale far entries
+        # (settled below thresh via another path) would otherwise step
+        # it backward; they migrate into one harmless near round instead
+        thresh2 = jnp.where(fn > 0,
+                            jnp.maximum(thresh, nm * delta + delta),
+                            thresh)
+        nearsel = valid & (dv < thresh2)
+        farsel = valid & ~nearsel
+        q2, ncount = _push(ids, nearsel, Q)
+        fq2, fcount = _push(ids, farsel, F)
+        n_ovf = ncount > Q
+        qn2 = jnp.where(n_ovf, 0, ncount)
+        return (dist, q2, qn2, fq2, fcount, thresh2, it + 1, n_ovf)
+
+    def dense_rebuild(state):
+        dist, q, qn, fq, fn, thresh, it, ovf = state
+        nd = _relax(in_ell, dist, m)
+        dist2 = jnp.minimum(dist, nd)
+        improved = dist2 < dist
+        nm = jnp.min(jnp.where(improved, dist2, INF)) // delta
+        any_imp = jnp.any(improved)
+        thresh2 = jnp.where(any_imp,
+                            jnp.maximum(thresh, nm * delta + delta),
+                            thresh)
+        nearmask = improved & (dist2 < thresh2)
+        farmask = improved & ~nearmask
+        q2 = compact_mask(nearmask, Q, m)
+        fq2 = compact_mask(farmask, F, m)
+        ncount = jnp.sum(nearmask.astype(jnp.int32))
+        fcount = jnp.sum(farmask.astype(jnp.int32))
+        ovf2 = (ncount > Q) | (fcount > F)
+        qn2 = jnp.where(ncount > Q, 0, ncount)
+        fn2 = jnp.minimum(fcount, F)
+        return dist2, q2, qn2, fq2, fn2, thresh2, it + 1, ovf2
+
+    def body(state):
+        def not_ovf(state):
+            return jax.lax.cond(state[2] > 0, near_round, advance,
+                                state)
+        return jax.lax.cond(state[7], dense_rebuild, not_ovf, state)
+
+    return cond, body
+
+
+def sssp_nearfar(g, source: int = 0, delta: int = 1, *,
+                 q_cap: int = None, segment_rounds: int = 4096,
+                 max_rounds: int = None,
+                 checkpointer=None) -> SSSPResult:
+    """Near-far delta-stepping (dstep.cu) on persistent device queues.
+
+    Exact (same fixed point as Bellman-Ford); `q_cap` tunes the near
+    queue (None -> sqrt(m) heuristic).  Selected via
+    sssp_solver(variant='nearfar')."""
+    from gardenia_tpu.utils.segment import build_segmented, run_segmented
+
+    m, nnz = g.m, g.nnz
+    delta = max(1, int(delta))
+    Qd, Fd, cap_e = _default_caps(m, nnz)
+    Q = T.next_pow2(int(q_cap)) if q_cap else Qd
+    F = 4 * Q
+    if q_cap:
+        mean_deg = max(4, -(-2 * nnz // max(m, 1)))
+        cap_e = T.next_pow2(max(256, min(Q * mean_deg, max(nnz, 256))))
+    if max_rounds is None:
+        max_rounds = 4 * m + 16
+    key = ("sssp_nf", delta, Q, F, cap_e, max_rounds, segment_rounds)
+
+    def build():
+        cond, body = _nf_cond_body(g, m, delta, Q, F, cap_e, max_rounds)
+        return build_segmented(cond, body, segment_rounds)
+
+    seg = g._dev(key, build)
+    dist0 = jnp.full((m,), INF, jnp.int32).at[source].set(0)
+    q0 = jnp.full((Q,), m, jnp.int32).at[0].set(source)
+    fq0 = jnp.full((F,), m, jnp.int32)
+    carry0 = (dist0, q0, jnp.int32(1), fq0, jnp.int32(0),
+              jnp.int32(delta), jnp.int32(0), jnp.bool_(False))
+    (dist, _, _, _, _, _, it, _), _ = run_segmented(
+        seg, carry0, checkpointer=checkpointer, checkpoint_every=1)
+    return SSSPResult(dist, it)

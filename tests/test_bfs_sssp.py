@@ -72,3 +72,52 @@ def test_sssp_directed_unreachable():
     expect = oracles.sssp_serial(g, 0)
     assert (expect == T.MYINFINITY).any()
     np.testing.assert_array_equal(np.asarray(res.dist), expect)
+
+
+# --- near-far delta-stepping (persistent compact frontiers) ----------------
+
+@pytest.mark.parametrize("delta", [1, 8, 64])
+def test_sssp_nearfar_weighted(delta):
+    g = random_graph(m=130, avg_deg=5, seed=3, weighted=True,
+                     symmetric=True)
+    res = sssp_solver(g, 2, delta, variant="nearfar")
+    np.testing.assert_array_equal(np.asarray(res.dist),
+                                  oracles.sssp_serial(g, 2))
+
+
+def test_sssp_nearfar_grid():
+    from gardenia_tpu.core.generate import grid_edges
+    from gardenia_tpu.core.graph import from_edges
+    g = from_edges(grid_edges(24), symmetrize=True, need_reverse=True)
+    res = sssp_solver(g, 0, 64, variant="nearfar")
+    np.testing.assert_array_equal(np.asarray(res.dist),
+                                  oracles.sssp_serial(g, 0))
+
+
+def test_sssp_nearfar_directed_unreachable():
+    g = random_graph(m=90, avg_deg=2, seed=9, weighted=True)
+    res = sssp_solver(g, 0, 16, variant="nearfar")
+    expect = oracles.sssp_serial(g, 0)
+    assert (expect == T.MYINFINITY).any()
+    np.testing.assert_array_equal(np.asarray(res.dist), expect)
+
+
+def test_sssp_nearfar_overflow_paths():
+    """Tiny queue capacity forces the dense-rebuild overflow branch;
+    tiny segment_rounds forces multi-segment host loops."""
+    from gardenia_tpu.solvers.sssp_nf import sssp_nearfar
+    g = random_graph(m=200, avg_deg=6, seed=5, weighted=True,
+                     symmetric=True)
+    res = sssp_nearfar(g, 0, 4, q_cap=2, segment_rounds=3)
+    np.testing.assert_array_equal(np.asarray(res.dist),
+                                  oracles.sssp_serial(g, 0))
+
+
+def test_sssp_segmented_matches_unsegmented():
+    """The host-segmented fused loop must be bit-identical to a
+    single-program run, including the round counter."""
+    g = random_graph(m=150, avg_deg=4, seed=2, symmetric=True)
+    a = sssp_solver(g, 0, 8, variant="delta", segment_rounds=2)
+    b = sssp_solver(g, 0, 8, variant="delta", segment_rounds=100000)
+    np.testing.assert_array_equal(np.asarray(a.dist), np.asarray(b.dist))
+    assert int(a.iterations) == int(b.iterations)

@@ -107,3 +107,39 @@ def test_dev_cache_retains_keyed_arrays():
     np.add.at(expect, src, ax2[np.arange(g.nnz)])
     assert np.allclose(y2, expect, rtol=1e-5), \
         "stale cached runner served old weights"
+
+
+def test_segmented_while_matches_while_loop(tmp_path):
+    """build_segmented/run_segmented == lax.while_loop, and the carry
+    round-trips through the Checkpointer for resume."""
+    import jax.numpy as jnp
+
+    from gardenia_tpu.utils.checkpoint import Checkpointer
+    from gardenia_tpu.utils.segment import build_segmented, run_segmented
+
+    def cond(c):
+        x, it = c
+        return it < 37
+
+    def body(c):
+        x, it = c
+        return x * 1.5 + 1.0, it + 1
+
+    init = (jnp.float32(0.0), jnp.int32(0))
+    import jax
+    expect = jax.lax.while_loop(cond, body, init)
+
+    seg = build_segmented(cond, body, 5)
+    got, nseg = run_segmented(seg, init)
+    assert nseg == 8          # ceil(37/5)
+    assert float(got[0]) == float(expect[0])
+    assert int(got[1]) == 37
+
+    # checkpointed run: kill after 2 segments, resume completes
+    ck = Checkpointer(str(tmp_path / "seg"))
+    part, n1 = run_segmented(seg, init, checkpointer=ck,
+                             checkpoint_every=1, max_segments=2)
+    assert n1 == 2 and ck.step() == 2
+    got2, n2 = run_segmented(seg, init, checkpointer=ck,
+                             checkpoint_every=1)
+    assert float(got2[0]) == float(expect[0]) and int(got2[1]) == 37
