@@ -233,7 +233,18 @@ def bfs_do_fused(g, source: int, *, layout: str = "auto") -> BFSResult:
         sweep = _count_sweep(m, None if layout == "hybrid"
                              else gg.ell(reverse=True))
         cap_e = T.next_pow2(max(nnz // ALPHA, 256))
-        cap_ids = min(T.next_pow2(max(m, 2)), cap_e)
+        # graduated static capacities (round 3): a top-down round's
+        # cost is dominated by gather/scatter work over the STATIC
+        # expansion shape, so the first/last levels of a low-diameter
+        # power-law traversal (frontiers of 1..10^4 edges) must not
+        # pay the full E/alpha capacity.  lax.switch picks the
+        # smallest tier that fits this round's out-edge count.
+        tiers = []
+        for shift in (6, 3, 0):
+            ce = max(1024, cap_e >> shift)
+            ci = min(T.next_pow2(max(m, 2)), ce)
+            if (ci, ce) not in tiers:
+                tiers.append((ci, ce))
 
         def run(source, hyb_, new_of_old_):
             from gardenia_tpu.ops import rowsel
@@ -242,24 +253,28 @@ def bfs_do_fused(g, source: int, *, layout: str = "auto") -> BFSResult:
             dist0 = jnp.full((m,), INF, jnp.int32).at[source].set(0)
             mask0 = jnp.zeros((m,), bool).at[source].set(True)
 
-            def td(args):
-                dist, mask, depth = args
-                # degree-0 frontier vertices contribute no edges; with
-                # them excluded the frontier size is bounded by its
-                # out-edge count, i.e. by the E/alpha branch budget
-                ids = compact_mask(mask & (deg > 0), cap_ids, m)
-                src, dst, valid, _ = expand_frontier_edges(
-                    rowptr, colidx, ids, cap_e)
-                unvis = rowsel.take(dist, dst) == INF
-                tgt = jnp.where(valid & unvis, dst, m)
-                dist = dist.at[tgt].min(depth + 1, mode="drop")
-                return dist, dist == depth + 1
+            def make_td(cap_ids: int, ce: int):
+                def td(args):
+                    dist, mask, depth = args
+                    # degree-0 frontier vertices contribute no edges;
+                    # excluded, the id count is bounded by the scout
+                    # count that selected this tier
+                    ids = compact_mask(mask & (deg > 0), cap_ids, m)
+                    src, dst, valid, _ = expand_frontier_edges(
+                        rowptr, colidx, ids, ce)
+                    unvis = rowsel.take(dist, dst) == INF
+                    tgt = jnp.where(valid & unvis, dst, m)
+                    dist = dist.at[tgt].min(depth + 1, mode="drop")
+                    return dist, dist == depth + 1
+                return td
 
             def bu(args):
                 dist, mask, depth = args
                 cnt = sweep(hyb_, mask)
                 newly = (cnt > 0) & (dist == INF)
                 return jnp.where(newly, depth + 1, dist), newly
+
+            branches = [make_td(ci, ce) for ci, ce in tiers] + [bu]
 
             def cond(state):
                 _, mask, _ = state
@@ -268,8 +283,11 @@ def bfs_do_fused(g, source: int, *, layout: str = "auto") -> BFSResult:
             def body(state):
                 dist, mask, depth = state
                 scout = frontier_degree_sum(mask, deg)
-                dist, newly = jax.lax.cond(
-                    scout <= nnz // ALPHA, td, bu, (dist, mask, depth))
+                idx = jnp.int32(0)
+                for _, ce in tiers:
+                    idx = idx + jnp.where(scout > ce, 1, 0)
+                dist, newly = jax.lax.switch(
+                    idx, branches, (dist, mask, depth))
                 return dist, newly, depth + 1
 
             dist, _, depth = jax.lax.while_loop(

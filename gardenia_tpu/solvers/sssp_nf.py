@@ -62,8 +62,11 @@ def _default_caps(m: int, nnz: int):
     return q, 4 * q, cap_e
 
 
-def _nf_cond_body(g, m: int, delta: int, Q: int, F: int, cap_e: int,
+def _nf_cond_body(g, m: int, Q: int, F: int, cap_e: int,
                   max_rounds: int):
+    # delta rides the CARRY as a traced scalar: one compiled program
+    # serves every bucket width, so delta tuning sweeps pay zero
+    # recompiles through the minutes-long axon remote-compile path
     from gardenia_tpu.ops import rowsel
     from gardenia_tpu.ops.frontier import (compact_mask,
                                            expand_frontier_edges)
@@ -78,7 +81,7 @@ def _nf_cond_body(g, m: int, delta: int, Q: int, F: int, cap_e: int,
     if_ = jnp.arange(F, dtype=jnp.int32)
 
     def cond(state):
-        _, _, qn, _, fn, _, it, ovf = state
+        _, _, qn, _, fn, _, it, ovf, _ = state
         work = (qn > 0) | (fn > 0) | ovf
         return jnp.logical_and(work, it < max_rounds)
 
@@ -91,14 +94,23 @@ def _nf_cond_body(g, m: int, delta: int, Q: int, F: int, cap_e: int,
             ids, mode="drop")
         return qout, jnp.sum(sel.astype(jnp.int32))
 
-    def near_round(state):
-        dist, q, qn, fq, fn, thresh, it, ovf = state
-        scout = jnp.sum(rowsel.take(deg, q, pad_value=0))
+    # graduated static capacities: per-round cost is dominated by
+    # gather/scatter work over the STATIC edge capacity, so tiny
+    # frontiers (the common case between bucket migrations) must not
+    # pay the full cap_e shape.  lax.switch picks the smallest
+    # (queue, edge) capacity pair that fits this round's frontier.
+    tiers = []
+    for shift in (4, 2, 0):
+        qs = max(256, Q >> shift)
+        ce = max(512, cap_e >> shift)
+        if (qs, ce) not in tiers:
+            tiers.append((qs, ce))
 
+    def _make_relax(Qs: int, ce: int):
         def relax(args):
             dist, q, fq, fn, thresh = args
             src, dst, valid, eid = expand_frontier_edges(
-                rowptr, colidx, q, cap_e)
+                rowptr, colidx, q[:Qs], ce)
             nd = rowsel.take(dist, src) + rowsel.take(wi, eid)
             tgt = jnp.where(valid, dst, m)
             dist2 = dist.at[tgt].min(nd, mode="drop")
@@ -119,20 +131,29 @@ def _nf_cond_body(g, m: int, delta: int, Q: int, F: int, cap_e: int,
             qn2 = jnp.where(n_ovf, 0, ncount)
             fn2 = jnp.minimum(fn + fcount, F)
             return dist2, q2, qn2, fq2, fn2, thresh, ovf2
+        return relax
 
-        def burst(args):
-            # frontier out-edges exceed cap_e (hub burst): hand the
-            # whole obligation to the dense-rebuild branch
-            dist, q, fq, fn, thresh = args
-            return (dist, jnp.full((Q,), m, jnp.int32), jnp.int32(0),
-                    fq, fn, thresh, jnp.bool_(True))
+    def burst(args):
+        # frontier out-edges exceed cap_e (hub burst): hand the
+        # whole obligation to the dense-rebuild branch
+        dist, q, fq, fn, thresh = args
+        return (dist, jnp.full((Q,), m, jnp.int32), jnp.int32(0),
+                fq, fn, thresh, jnp.bool_(True))
 
-        dist, q2, qn2, fq2, fn2, thresh, ovf2 = jax.lax.cond(
-            scout <= cap_e, relax, burst, (dist, q, fq, fn, thresh))
-        return dist, q2, qn2, fq2, fn2, thresh, it + 1, ovf2
+    branches = [_make_relax(qs, ce) for qs, ce in tiers] + [burst]
+
+    def near_round(state):
+        dist, q, qn, fq, fn, thresh, it, ovf, delta = state
+        scout = jnp.sum(rowsel.take(deg, q, pad_value=0))
+        idx = jnp.int32(0)
+        for qs, ce in tiers:
+            idx = idx + jnp.where((qn > qs) | (scout > ce), 1, 0)
+        dist, q2, qn2, fq2, fn2, thresh, ovf2 = jax.lax.switch(
+            idx, branches, (dist, q, fq, fn, thresh))
+        return dist, q2, qn2, fq2, fn2, thresh, it + 1, ovf2, delta
 
     def advance(state):
-        dist, q, qn, fq, fn, thresh, it, ovf = state
+        dist, q, qn, fq, fn, thresh, it, ovf, delta = state
         ids = jnp.where(if_ < fn, fq, m)
         dv = rowsel.take(dist, ids, pad_value=int(INF))
         valid = if_ < fn
@@ -150,10 +171,11 @@ def _nf_cond_body(g, m: int, delta: int, Q: int, F: int, cap_e: int,
         fq2, fcount = _push(ids, farsel, F)
         n_ovf = ncount > Q
         qn2 = jnp.where(n_ovf, 0, ncount)
-        return (dist, q2, qn2, fq2, fcount, thresh2, it + 1, n_ovf)
+        return (dist, q2, qn2, fq2, fcount, thresh2, it + 1, n_ovf,
+                delta)
 
     def dense_rebuild(state):
-        dist, q, qn, fq, fn, thresh, it, ovf = state
+        dist, q, qn, fq, fn, thresh, it, ovf, delta = state
         nd = _relax(in_ell, dist, m)
         dist2 = jnp.minimum(dist, nd)
         improved = dist2 < dist
@@ -171,7 +193,7 @@ def _nf_cond_body(g, m: int, delta: int, Q: int, F: int, cap_e: int,
         ovf2 = (ncount > Q) | (fcount > F)
         qn2 = jnp.where(ncount > Q, 0, ncount)
         fn2 = jnp.minimum(fcount, F)
-        return dist2, q2, qn2, fq2, fn2, thresh2, it + 1, ovf2
+        return dist2, q2, qn2, fq2, fn2, thresh2, it + 1, ovf2, delta
 
     def body(state):
         def not_ovf(state):
@@ -203,10 +225,10 @@ def sssp_nearfar(g, source: int = 0, delta: int = 1, *,
         cap_e = T.next_pow2(max(256, min(Q * mean_deg, max(nnz, 256))))
     if max_rounds is None:
         max_rounds = 4 * m + 16
-    key = ("sssp_nf", delta, Q, F, cap_e, max_rounds, segment_rounds)
+    key = ("sssp_nf", Q, F, cap_e, max_rounds, segment_rounds)
 
     def build():
-        cond, body = _nf_cond_body(g, m, delta, Q, F, cap_e, max_rounds)
+        cond, body = _nf_cond_body(g, m, Q, F, cap_e, max_rounds)
         return build_segmented(cond, body, segment_rounds)
 
     seg = g._dev(key, build)
@@ -214,7 +236,8 @@ def sssp_nearfar(g, source: int = 0, delta: int = 1, *,
     q0 = jnp.full((Q,), m, jnp.int32).at[0].set(source)
     fq0 = jnp.full((F,), m, jnp.int32)
     carry0 = (dist0, q0, jnp.int32(1), fq0, jnp.int32(0),
-              jnp.int32(delta), jnp.int32(0), jnp.bool_(False))
-    (dist, _, _, _, _, _, it, _), _ = run_segmented(
+              jnp.int32(delta), jnp.int32(0), jnp.bool_(False),
+              jnp.int32(delta))
+    (dist, _, _, _, _, _, it, _, _), _ = run_segmented(
         seg, carry0, checkpointer=checkpointer, checkpoint_every=1)
     return SSSPResult(dist, it)

@@ -57,26 +57,68 @@ def _chunk_table(dag):
     return table, cstart.astype(np.int64), n_chunks.astype(np.int64)
 
 
-def _pair_stream_range(dag, cstart, n_chunks, e_lo: int, e_hi: int):
+def _win_searchsorted(arr, starts, lens, vals, side):
+    """Vectorized windowed searchsorted: for each i, the insertion
+    point of vals[i] in the ascending window arr[starts[i] :
+    starts[i]+lens[i]].  Manual binary search — numpy has no windowed
+    form; ~log2(max window) vectorized passes."""
+    lo = np.zeros(len(vals), np.int64)
+    hi = lens.astype(np.int64).copy()
+    while True:
+        active = lo < hi
+        if not active.any():
+            return lo
+        mid = (lo + hi) >> 1
+        # clamp: empty windows (lens 0) are inactive but still indexed,
+        # and a trailing zero-chunk vertex has starts == len(arr)
+        a = arr[np.minimum(starts + np.minimum(mid,
+                                               np.maximum(lens - 1, 0)),
+                           len(arr) - 1)]
+        go_right = (a < vals) if side == "left" else (a <= vals)
+        lo = np.where(active & go_right, mid + 1, lo)
+        hi = np.where(active & ~go_right, mid, hi)
+
+
+def _pair_stream_range(dag, cstart, n_chunks, clo, chi,
+                       e_lo: int, e_hi: int):
     """Host-precomputed chunk-pair index arrays (cu, cv) for the DAG
     edge range [e_lo, e_hi) — the pair -> (edge, sub-chunk)
     demultiplexing is pure address arithmetic, so it is done ONCE here
     instead of a per-pair device searchsorted (which measured
-    ~170 ns/pair, dominating the kernel)."""
+    ~170 ns/pair, dominating the kernel).
+
+    STAIRCASE PRUNING (round 3): adjacency rows are sorted, so the
+    chunks of one vertex cover strictly increasing disjoint value
+    ranges — chunk i of N+(u) can only intersect the chunks of N+(v)
+    whose [min, max] range overlaps it.  The overlapping (i, j) pairs
+    form a monotone staircase of size <= c(u)+c(v)-1, vs c(u)*c(v)
+    all-pairs; on RMAT-20 this cuts the pair stream 74.3M -> ~33M.
+    The reference's merge-based warp intersection
+    (include/operations.cuh:142-343) gets the same effect from the
+    merge pointers; here the pruning happens once on the host and the
+    device kernel stays the pure lane-rotation compare."""
     m = dag.m
     deg = np.diff(dag.rowptr)
     src = np.repeat(np.arange(m, dtype=np.int64), deg)[e_lo:e_hi]
     dst = np.asarray(dag.colidx, dtype=np.int64)[e_lo:e_hi]
-    ppe = n_chunks[src] * n_chunks[dst]
-    cum = np.cumsum(ppe)
-    total = int(cum[-1]) if len(cum) else 0
+    cu_n = n_chunks[src]
+    # expand per (edge, u-chunk): E2 = sum cu_n
+    e2 = np.repeat(np.arange(len(src), dtype=np.int64), cu_n)
+    i2 = np.arange(len(e2), dtype=np.int64) - \
+        np.repeat(np.cumsum(cu_n) - cu_n, cu_n)
+    urow = cstart[src[e2]] + i2
+    vs = cstart[dst[e2]]
+    cvn = n_chunks[dst[e2]]
+    jlo = _win_searchsorted(chi, vs, cvn, clo[urow], "left")
+    jhi = _win_searchsorted(clo, vs, cvn, chi[urow], "right")
+    cnt = np.maximum(jhi - jlo, 0)
+    total = int(cnt.sum())
     assert total < 2 ** 31, "pair-slice budget exceeded (internal)"
-    base = np.repeat(cum - ppe, ppe)
-    q = np.arange(total, dtype=np.int64) - base
-    e = np.repeat(np.arange(len(ppe), dtype=np.int64), ppe)
-    nve = np.maximum(n_chunks[dst[e]], 1)
-    cu = (cstart[src[e]] + q // nve).astype(np.int32)
-    cv = (cstart[dst[e]] + q % nve).astype(np.int32)
+    base = np.cumsum(cnt) - cnt
+    p = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+    off = np.arange(total, dtype=np.int64) - base[p]
+    cu = urow[p].astype(np.int32)
+    cv = (vs[p] + jlo[p] + off).astype(np.int32)
     return cu, cv, total
 
 
@@ -88,12 +130,17 @@ def tc_rotate(g, *, chunk: int = 1 << 13, presorted_dag: bool = False
 
     def prep_table():
         table_h, cstart, n_chunks = _chunk_table(dag)
+        # per-chunk value ranges for the staircase pruning: rows are
+        # sorted and front-packed, so lane 0 is the min and the row
+        # max ignores the -1 padding
+        clo = table_h[:, 0].astype(np.int64)
+        chi = table_h.max(axis=1).astype(np.int64)
         th = np.concatenate(
             [table_h, np.full((1, LANES), -1, np.int32)], axis=0)
-        return jnp.asarray(th), cstart, n_chunks, len(th) - 1
+        return jnp.asarray(th), cstart, n_chunks, clo, chi, len(th) - 1
 
-    table, cstart, n_chunks, sent = dag._dev(("tc_rotate_table",),
-                                             prep_table)
+    table, cstart, n_chunks, clo, chi, sent = dag._dev(
+        ("tc_rotate_table",), prep_table)
 
     def pack(e_lo: int, e_hi: int):
         """Pair stream for an edge slice, padded to whole chunks; padded
@@ -101,8 +148,8 @@ def tc_rotate(g, *, chunk: int = 1 << 13, presorted_dag: bool = False
         The step dimension is snapped to a power of two so multi-slice
         runs reuse one compiled executable (the real step count is
         passed dynamically; padded steps are never visited)."""
-        cu_h, cv_h, total_pairs = _pair_stream_range(dag, cstart,
-                                                     n_chunks, e_lo, e_hi)
+        cu_h, cv_h, total_pairs = _pair_stream_range(
+            dag, cstart, n_chunks, clo, chi, e_lo, e_hi)
         n_steps = max(1, -(-total_pairs // chunk))
         n_alloc = T.next_pow2(n_steps)
         pad = n_alloc * chunk - total_pairs
