@@ -80,12 +80,20 @@ class DensePanel:
 
 class HybridMatrix(NamedTuple):
     """Device (or host) arrays of the hybrid layout: dense row panels
-    plus an ELL-slab + dst-sorted-COO remainder (either may be empty)."""
+    plus an ELL-slab + dst-sorted-COO remainder (either may be empty).
+
+    scale: CONSTANT-VALUE factorization (round 3) — a matrix whose
+    weights are all w0 stores the unweighted int8 count layout (1/4 the
+    A stream of f32 panels, threshold 16 instead of 64) and consumers
+    multiply y by `scale` once; value-compressed sparse matrices
+    (binary/affinity/uniform-weight) are common in the reference's
+    SpMV workloads (src/spmv/main.cc synthesizes uniform weights)."""
     dense: Tuple[DensePanel, ...]
     rem: object           # ops.ell.EllMatrix over the remainder edges
     rem_dst: jax.Array    # i32[R] remainder dst, NON-DECREASING
     rem_src: jax.Array    # i32[R] remainder src
     rem_w: object         # f32[R] remainder weights, or None (unweighted)
+    scale: float = 1.0    # static y-multiplier (1.0 = no-op)
 
     @property
     def num_blocks(self) -> int:

@@ -71,3 +71,40 @@ def expand_frontier_edges(rowptr: jax.Array,
     valid = jnp.arange(capacity, dtype=jnp.int32) < total
     e = jnp.clip(e, 0, max(nnz - 1, 0))
     return rowsel.take(frontier_ids, f), rowsel.take(colidx, e), valid, e
+
+
+def expand_frontier_edges_tbl(rowptr_t: jax.Array,
+                              colidx_t: jax.Array,
+                              nnz: int,
+                              frontier_ids: jax.Array,
+                              capacity: int
+                              ) -> Tuple[jax.Array, jax.Array, jax.Array,
+                                         jax.Array]:
+    """expand_frontier_edges over PREBUILT row tables (rowsel.to_rows)
+    of rowptr and colidx.  Inside a fused loop the plain form rebuilds
+    both tables per call — an O(m + nnz) copy stream that dwarfs the
+    O(frontier) expansion itself; with the tables loop-invariant (in
+    the carry or closure) a round touches only capacity-sized arrays.
+
+    rowptr_t must be built with pad_value=nnz covering index m+1
+    (to_rows(rowptr, m+1, nnz)): the sentinel id m then reads
+    [nnz, nnz) — an empty row — without any clamping.
+    """
+    from gardenia_tpu.ops import rowsel
+
+    starts = rowsel.take2d(rowptr_t, frontier_ids)
+    ends = rowsel.take2d(rowptr_t, frontier_ids + 1)
+    lens = jnp.maximum(ends - starts, 0)
+    cum_ends = jnp.cumsum(lens)
+    total = cum_ends[-1] if lens.shape[0] else jnp.int32(0)
+    offsets = cum_ends - lens
+    p = jnp.arange(frontier_ids.shape[0], dtype=jnp.int32)
+    marks = jnp.zeros((capacity,), jnp.int32).at[offsets].max(
+        p, mode="drop")
+    f = jax.lax.cummax(marks)
+    e = rowsel.take(starts, f) + \
+        (jnp.arange(capacity, dtype=jnp.int32) - rowsel.take(offsets, f))
+    valid = jnp.arange(capacity, dtype=jnp.int32) < total
+    e = jnp.clip(e, 0, max(nnz - 1, 0))
+    return (rowsel.take(frontier_ids, f), rowsel.take2d(colidx_t, e),
+            valid, e)

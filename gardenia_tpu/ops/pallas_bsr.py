@@ -139,11 +139,18 @@ def dense_panel_minselect(panel: jax.Array, xg: jax.Array,
         def _():
             y_ref[...] = jnp.full_like(y_ref, snt)
 
-        a = a_ref[0]                                  # (128, Wt*128)
-        xs = x_ref[0][:, 0]                           # (Wt*128,)
-        big = jnp.where(a != 0, xs[None, :], jnp.int32(snt))
-        y_ref[0, :, 0] = jnp.minimum(y_ref[0, :, 0],
-                                     jnp.min(big, axis=1))
+        # one 128-column sub-block at a time: the single-shot
+        # (128, Wt*128) masked broadcast allocated a 512 KB i32 stack
+        # temp per step, which ran VMEM out of stack space once the
+        # fused CC while_loop held several width buckets' kernels;
+        # (128, 128) temps keep the whole step under ~150 KB
+        acc = y_ref[0, :, 0]
+        for wl in range(Wt):
+            aw = a_ref[0][:, wl * LANES:(wl + 1) * LANES]
+            xw = x_ref[0][wl * LANES:(wl + 1) * LANES, 0]
+            cand = jnp.where(aw != 0, xw[None, :], jnp.int32(snt))
+            acc = jnp.minimum(acc, jnp.min(cand, axis=1))
+        y_ref[0, :, 0] = acc
 
     return pl.pallas_call(
         kernel,

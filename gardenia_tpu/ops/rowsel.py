@@ -68,6 +68,17 @@ def gather(x2d: jax.Array, idx: jax.Array, *, acc_dtype=jnp.float32
     return jnp.sum(vals, axis=-1)
 
 
+def take2d(x2d: jax.Array, idx: jax.Array) -> jax.Array:
+    """take() over a PREBUILT row table (see to_rows).  Use when the
+    operand is loop-invariant or lives padded in a loop carry: take()
+    rebuilds the (rows, 128) padding on every call — an O(n) copy that
+    dominates compact-frontier rounds when n is graph-sized."""
+    if not enabled():
+        # padded flat view: any sentinel index <= rows*128-1 is valid
+        return x2d.reshape(-1)[idx]
+    return gather(x2d, idx, acc_dtype=x2d.dtype)
+
+
 def take(x: jax.Array, idx: jax.Array, pad_value=0) -> jax.Array:
     """Drop-in fast replacement for x[idx] (1D x, any-shape idx).
 

@@ -69,7 +69,7 @@ def _nf_cond_body(g, m: int, Q: int, F: int, cap_e: int,
     # recompiles through the minutes-long axon remote-compile path
     from gardenia_tpu.ops import rowsel
     from gardenia_tpu.ops.frontier import (compact_mask,
-                                           expand_frontier_edges)
+                                           expand_frontier_edges_tbl)
 
     nnz = g.nnz
     rowptr, colidx = g.device_csr()
@@ -77,8 +77,22 @@ def _nf_cond_body(g, m: int, Q: int, F: int, cap_e: int,
     wi = jnp.ones((nnz,), jnp.int32) if w is None else w.astype(jnp.int32)
     deg = g.device_degrees()
     in_ell = _weighted_in_ell(g)
-    iq = jnp.arange(Q, dtype=jnp.int32)
     if_ = jnp.arange(F, dtype=jnp.int32)
+
+    # loop-invariant ROW TABLES + permanently padded dist: rowsel.take
+    # rebuilds its (rows, 128) padding per call — an O(m + nnz) copy
+    # stream per round that dwarfed the O(frontier) work (measured
+    # 0.9 ms/round at grid-1024).  Tables are built once; dist lives
+    # padded in the carry and is only sliced back at the end.
+    rows_m = rowsel.pad_rows(m)
+    N = rows_m * rowsel.LANES          # padded dist length (sentinel ok)
+    rp_t = rowsel.to_rows(rowptr, m + 1, nnz)
+    ci_t = rowsel.to_rows(colidx, nnz, 0)
+    wi_t = rowsel.to_rows(wi, nnz, 0)
+    deg_t = rowsel.to_rows(deg, m, 0)
+
+    def d2(distf, idx):
+        return rowsel.take2d(distf.reshape(rows_m, rowsel.LANES), idx)
 
     def cond(state):
         _, _, qn, _, fn, _, it, ovf, _ = state
@@ -100,7 +114,7 @@ def _nf_cond_body(g, m: int, Q: int, F: int, cap_e: int,
     # pay the full cap_e shape.  lax.switch picks the smallest
     # (queue, edge) capacity pair that fits this round's frontier.
     tiers = []
-    for shift in (4, 2, 0):
+    for shift in (6, 4, 2, 0):
         qs = max(256, Q >> shift)
         ce = max(512, cap_e >> shift)
         if (qs, ce) not in tiers:
@@ -109,13 +123,13 @@ def _nf_cond_body(g, m: int, Q: int, F: int, cap_e: int,
     def _make_relax(Qs: int, ce: int):
         def relax(args):
             dist, q, fq, fn, thresh = args
-            src, dst, valid, eid = expand_frontier_edges(
-                rowptr, colidx, q[:Qs], ce)
-            nd = rowsel.take(dist, src) + rowsel.take(wi, eid)
-            tgt = jnp.where(valid, dst, m)
+            src, dst, valid, eid = expand_frontier_edges_tbl(
+                rp_t, ci_t, nnz, q[:Qs], ce)
+            nd = d2(dist, src) + rowsel.take2d(wi_t, eid)
+            tgt = jnp.where(valid, dst, N)
             dist2 = dist.at[tgt].min(nd, mode="drop")
-            old_at = rowsel.take(dist, dst)
-            new_at = rowsel.take(dist2, dst)
+            old_at = d2(dist, dst)
+            new_at = d2(dist2, dst)
             winner = valid & (new_at < old_at) & (nd == new_at)
             is_near = winner & (nd < thresh)
             is_far = winner & ~is_near
@@ -144,7 +158,7 @@ def _nf_cond_body(g, m: int, Q: int, F: int, cap_e: int,
 
     def near_round(state):
         dist, q, qn, fq, fn, thresh, it, ovf, delta = state
-        scout = jnp.sum(rowsel.take(deg, q, pad_value=0))
+        scout = jnp.sum(rowsel.take2d(deg_t, q))
         idx = jnp.int32(0)
         for qs, ce in tiers:
             idx = idx + jnp.where((qn > qs) | (scout > ce), 1, 0)
@@ -155,7 +169,7 @@ def _nf_cond_body(g, m: int, Q: int, F: int, cap_e: int,
     def advance(state):
         dist, q, qn, fq, fn, thresh, it, ovf, delta = state
         ids = jnp.where(if_ < fn, fq, m)
-        dv = rowsel.take(dist, ids, pad_value=int(INF))
+        dv = d2(dist, ids)
         valid = if_ < fn
         bucket = jnp.where(valid, dv // delta, INF)
         nm = jnp.min(bucket)
@@ -175,7 +189,8 @@ def _nf_cond_body(g, m: int, Q: int, F: int, cap_e: int,
                 delta)
 
     def dense_rebuild(state):
-        dist, q, qn, fq, fn, thresh, it, ovf, delta = state
+        distf, q, qn, fq, fn, thresh, it, ovf, delta = state
+        dist = distf[:m]
         nd = _relax(in_ell, dist, m)
         dist2 = jnp.minimum(dist, nd)
         improved = dist2 < dist
@@ -193,7 +208,8 @@ def _nf_cond_body(g, m: int, Q: int, F: int, cap_e: int,
         ovf2 = (ncount > Q) | (fcount > F)
         qn2 = jnp.where(ncount > Q, 0, ncount)
         fn2 = jnp.minimum(fcount, F)
-        return dist2, q2, qn2, fq2, fn2, thresh2, it + 1, ovf2, delta
+        distf2 = distf.at[:m].set(dist2)
+        return distf2, q2, qn2, fq2, fn2, thresh2, it + 1, ovf2, delta
 
     def body(state):
         def not_ovf(state):
@@ -232,12 +248,14 @@ def sssp_nearfar(g, source: int = 0, delta: int = 1, *,
         return build_segmented(cond, body, segment_rounds)
 
     seg = g._dev(key, build)
-    dist0 = jnp.full((m,), INF, jnp.int32).at[source].set(0)
+    from gardenia_tpu.ops import rowsel as _rs
+    N = _rs.pad_rows(m) * _rs.LANES
+    dist0 = jnp.full((N,), INF, jnp.int32).at[source].set(0)
     q0 = jnp.full((Q,), m, jnp.int32).at[0].set(source)
     fq0 = jnp.full((F,), m, jnp.int32)
     carry0 = (dist0, q0, jnp.int32(1), fq0, jnp.int32(0),
               jnp.int32(delta), jnp.int32(0), jnp.bool_(False),
               jnp.int32(delta))
-    (dist, _, _, _, _, _, it, _, _), _ = run_segmented(
+    (distf, _, _, _, _, _, it, _, _), _ = run_segmented(
         seg, carry0, checkpointer=checkpointer, checkpoint_every=1)
-    return SSSPResult(dist, it)
+    return SSSPResult(distf[:m], it)

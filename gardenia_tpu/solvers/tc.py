@@ -79,30 +79,43 @@ def _win_searchsorted(arr, starts, lens, vals, side):
         hi = np.where(active & ~go_right, mid, hi)
 
 
-def _pair_stream_range(dag, cstart, n_chunks, clo, chi,
-                       e_lo: int, e_hi: int):
-    """Host-precomputed chunk-pair index arrays (cu, cv) for the DAG
-    edge range [e_lo, e_hi) — the pair -> (edge, sub-chunk)
-    demultiplexing is pure address arithmetic, so it is done ONCE here
-    instead of a per-pair device searchsorted (which measured
-    ~170 ns/pair, dominating the kernel).
+HUB_THRESHOLD = 128        # deg+ >= this -> bitmap intersection path
+BITMAP_BUDGET_WORDS = 1 << 27   # <= 512 MB of uint32 bitmap rows
+ROT_WIDTHS = (8, 16, 32, 64, 128)
 
-    STAIRCASE PRUNING (round 3): adjacency rows are sorted, so the
-    chunks of one vertex cover strictly increasing disjoint value
-    ranges — chunk i of N+(u) can only intersect the chunks of N+(v)
-    whose [min, max] range overlaps it.  The overlapping (i, j) pairs
-    form a monotone staircase of size <= c(u)+c(v)-1, vs c(u)*c(v)
-    all-pairs; on RMAT-20 this cuts the pair stream 74.3M -> ~33M.
-    The reference's merge-based warp intersection
-    (include/operations.cuh:142-343) gets the same effect from the
-    merge pointers; here the pruning happens once on the host and the
-    device kernel stays the pure lane-rotation compare."""
+
+def _pow2ceil_arr(x):
+    return (2 ** np.ceil(np.log2(np.maximum(x, 1)))).astype(np.int64)
+
+
+def _pair_streams(dag, cstart, n_chunks, clo, chi, fill, edge_sel):
+    """Pruned, width-classed chunk-pair streams for the DAG edges in
+    `edge_sel` (bool mask).
+
+    STAIRCASE PRUNING: adjacency rows are sorted, so the chunks of one
+    vertex cover strictly increasing disjoint value ranges — chunk i
+    of N+(u) can only intersect the chunks of N+(v) whose [min, max]
+    range overlaps it; the surviving (i, j) pairs form a monotone
+    staircase of size <= c(u)+c(v)-1 vs c(u)*c(v) all-pairs (RMAT-20:
+    74.3M -> 44.7M pairs).  The reference's merge-based warp
+    intersection (include/operations.cuh:142-343) gets the same effect
+    from its merge pointers.
+
+    WIDTH CLASSES: each pair is swapped so cu is the side with the
+    smaller lane fill, and classed by W = pow2ceil(min fill) (>= 8).
+    The kernel replicates the W-lane prefix of A across the row and
+    needs only W rotations of B to compare every (a_j, b_k) pair
+    exactly once: for lane i = (k + s) mod 128 with s = (j - k) mod W,
+    A_rep[i] = a_{i mod W} = a_j meets roll(B, s)[i] = b_k, and no
+    other (s, i) maps to the same (j, k).  Cost drops from 128 to W
+    rotations per pair — the min-side merge length, like the
+    reference's shorter-list-iterates convention (omp_base.cc:16-21).
+    """
     m = dag.m
     deg = np.diff(dag.rowptr)
-    src = np.repeat(np.arange(m, dtype=np.int64), deg)[e_lo:e_hi]
-    dst = np.asarray(dag.colidx, dtype=np.int64)[e_lo:e_hi]
+    src = np.repeat(np.arange(m, dtype=np.int64), deg)[edge_sel]
+    dst = np.asarray(dag.colidx, np.int64)[edge_sel]
     cu_n = n_chunks[src]
-    # expand per (edge, u-chunk): E2 = sum cu_n
     e2 = np.repeat(np.arange(len(src), dtype=np.int64), cu_n)
     i2 = np.arange(len(e2), dtype=np.int64) - \
         np.repeat(np.cumsum(cu_n) - cu_n, cu_n)
@@ -113,107 +126,221 @@ def _pair_stream_range(dag, cstart, n_chunks, clo, chi,
     jhi = _win_searchsorted(clo, vs, cvn, chi[urow], "right")
     cnt = np.maximum(jhi - jlo, 0)
     total = int(cnt.sum())
-    assert total < 2 ** 31, "pair-slice budget exceeded (internal)"
     base = np.cumsum(cnt) - cnt
-    p = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
-    off = np.arange(total, dtype=np.int64) - base[p]
-    cu = urow[p].astype(np.int32)
-    cv = (vs[p] + jlo[p] + off).astype(np.int32)
-    return cu, cv, total
+    pp = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+    off = np.arange(total, dtype=np.int64) - base[pp]
+    cu = urow[pp]
+    cv = vs[pp] + jlo[pp] + off
+    fu, fv = fill[cu], fill[cv]
+    swap = fu > fv
+    cu2 = np.where(swap, cv, cu).astype(np.int32)
+    cv2 = np.where(swap, cu, cv).astype(np.int32)
+    W = np.maximum(8, _pow2ceil_arr(np.minimum(fu, fv)))
+    out = {}
+    for w in ROT_WIDTHS:
+        sel = W == w
+        if sel.any():
+            out[int(w)] = (cu2[sel], cv2[sel])
+    return out
 
 
-def tc_rotate(g, *, chunk: int = 1 << 13, presorted_dag: bool = False
-              ) -> int:
-    dag = g if presorted_dag else g._dev(("oriented",), g.oriented)
-    if dag.nnz == 0:
-        return 0
+def _build_bitmap(dag, src, dst, deg):
+    """Hub-hub edges go through exact BITMAP intersection: after degree
+    relabeling every out-neighbor of a vertex with deg+ >= HUB_THRESHOLD
+    is itself a top-degree vertex, so ALL hub out-lists live in a tiny
+    id prefix [0, U) (RMAT-20: U = 21723 for 21.6K hubs).  N+(u) cap
+    N+(v) is then popcount(bmp[u] & bmp[v]) over U bits — ~679 words vs
+    16K lane-ops per 128x128 chunk pair, and hub-hub pairs are 59% of
+    the pruned rotation cost.  TPU take on the reference's hash-index
+    intersection (include/operations.cuh:295 intersect_warp_hindex).
 
-    def prep_table():
-        table_h, cstart, n_chunks = _chunk_table(dag)
-        # per-chunk value ranges for the staircase pruning: rows are
-        # sorted and front-packed, so lane 0 is the min and the row
-        # max ignores the -1 padding
-        clo = table_h[:, 0].astype(np.int64)
-        chi = table_h.max(axis=1).astype(np.int64)
-        th = np.concatenate(
-            [table_h, np.full((1, LANES), -1, np.int32)], axis=0)
-        return jnp.asarray(th), cstart, n_chunks, clo, chi, len(th) - 1
+    Returns (bmp uint32[H+1, wpad], hu, hv, hh_edge_mask) or None when
+    no hubs exist / the bitmap would blow the budget (e.g. natural ids
+    without relabeling, or near-regular graphs)."""
+    hub = deg >= HUB_THRESHOLD
+    if not hub.any():
+        return None
+    sel = hub[src]
+    if not sel.any():
+        return None
+    U = int(dst[sel].max()) + 1
+    words = -(-U // 32)
+    wpad = -(-words // LANES) * LANES
+    H = int(hub.sum())
+    if (H + 1) * wpad > BITMAP_BUDGET_WORDS:
+        return None
+    rank = (np.cumsum(hub) - 1).astype(np.int64)
+    bmp = np.zeros((H + 1, wpad), np.uint32)   # +1: zero sentinel row
+    v = dst[sel]
+    np.bitwise_or.at(bmp, (rank[src[sel]], v >> 5),
+                     np.uint32(1) << (v & 31).astype(np.uint32))
+    hh = hub[src] & hub[dst]
+    hu = rank[src[hh]].astype(np.int32)
+    hv = rank[dst[hh]].astype(np.int32)
+    return bmp, hu, hv, hh
 
-    table, cstart, n_chunks, clo, chi, sent = dag._dev(
-        ("tc_rotate_table",), prep_table)
 
-    def pack(e_lo: int, e_hi: int):
-        """Pair stream for an edge slice, padded to whole chunks; padded
-        pairs compare the all--1 sentinel row against row 0 (no match).
-        The step dimension is snapped to a power of two so multi-slice
-        runs reuse one compiled executable (the real step count is
-        passed dynamically; padded steps are never visited)."""
-        cu_h, cv_h, total_pairs = _pair_stream_range(
-            dag, cstart, n_chunks, clo, chi, e_lo, e_hi)
-        n_steps = max(1, -(-total_pairs // chunk))
-        n_alloc = T.next_pow2(n_steps)
-        pad = n_alloc * chunk - total_pairs
-        cu = np.concatenate([cu_h, np.full(pad, sent, np.int32)])
-        cv = np.concatenate([cv_h, np.zeros(pad, np.int32)])
-        return (jnp.asarray(cu.reshape(n_alloc, chunk)),
-                jnp.asarray(cv.reshape(n_alloc, chunk)), n_steps)
+def _pack_stream(a, b, chunk, pad_a, pad_b):
+    """(n,) index pair -> (n_alloc, chunk) device arrays + real step
+    count; the step dim snaps to a power of two so multi-slice runs
+    reuse one compiled executable."""
+    n = len(a)
+    n_steps = max(1, -(-n // chunk))
+    n_alloc = T.next_pow2(n_steps)
+    tot = n_alloc * chunk
+    aa = np.concatenate([a, np.full(tot - n, pad_a, np.int32)])
+    bb = np.concatenate([b, np.full(tot - n, pad_b, np.int32)])
+    return (jnp.asarray(aa.reshape(n_alloc, chunk)),
+            jnp.asarray(bb.reshape(n_alloc, chunk)), n_steps)
 
-    def build():
-        # table rides as a jit ARGUMENT: baked-in it blows the remote
-        # -compile request size limit at scale 20 (HTTP 413)
-        @jax.jit
-        def run(table, cu_d, cv_d, n_real):
-            def body(c, partials):
-                A = table[cu_d[c]]                     # (chunk, 128)
-                B = table[cv_d[c]]
-                # pad sentinels must never match: A keeps -1, B gets -2
-                B = jnp.where(B == -1, -2, B)
 
-                # accumulate hits elementwise and reduce ONCE: a scalar
-                # reduce per rotation costs a full tree each time and
-                # dominated the kernel (790 -> 119 ms on RMAT-16)
+def _rot_count_pallas(A, B, W: int, interpret: bool = False):
+    """Per-tile VMEM-resident rotation count: the XLA fori formulation
+    re-reads A/B from HBM on every rotation (~54 KB of HBM traffic per
+    pair at W=128 — the round-2 kernel was bandwidth-bound on exactly
+    that); here each (T, 128) tile is read ONCE and all W rotations run
+    against VMEM."""
+    from jax.experimental import pallas as pl
+
+    P = A.shape[0]
+    Tt = min(1024, P)
+    nsub = P // Tt
+
+    def kernel(a_ref, b_ref, y_ref):
+        from jax.experimental.pallas import tpu as pltpu
+        a = a_ref[...]
+        br = b_ref[...]
+        acc = jnp.zeros(a.shape, jnp.int32)
+        for s in range(W):
+            if s:
+                br = pltpu.roll(br, shift=1, axis=1)
+            acc = acc + (a == br).astype(jnp.int32)
+        y_ref[...] = acc.reshape(8, Tt // 8, LANES).sum(axis=1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nsub,),
+        in_specs=[pl.BlockSpec((Tt, LANES), lambda i: (i, 0)),
+                  pl.BlockSpec((Tt, LANES), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((8, LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nsub * 8, LANES), jnp.int32),
+        interpret=interpret,
+    )(A, B)
+
+
+def _make_rot_run(W: int, chunk: int, use_pallas: bool):
+    @jax.jit
+    def run(table, cu_d, cv_d, n_real):
+        def body(c, partials):
+            Araw = table[cu_d[c]]                       # (chunk, 128)
+            A = jnp.tile(Araw[:, :W], (1, LANES // W)) if W < LANES \
+                else Araw
+            B = table[cv_d[c]]
+            # pad sentinels must never match: A keeps -1, B gets -2
+            B = jnp.where(B == -1, -2, B)
+            if use_pallas:
+                part = jnp.sum(_rot_count_pallas(A, B, W))
+            else:
                 def rot_body(s, acc):
                     return acc + (A == jnp.roll(B, s, axis=1)) \
                         .astype(jnp.int32)
+                part = jnp.sum(jax.lax.fori_loop(
+                    0, W, rot_body, jnp.zeros(A.shape, jnp.int32)))
+            return partials.at[c].set(part)
 
-                acc = jax.lax.fori_loop(0, LANES, rot_body,
-                                        jnp.zeros(A.shape, jnp.int32))
-                return partials.at[c].set(jnp.sum(acc))
+        return jax.lax.fori_loop(
+            0, n_real, body, jnp.zeros((cu_d.shape[0],), jnp.int32))
+    return run
 
-            return jax.lax.fori_loop(
-                0, n_real, body,
-                jnp.zeros((cu_d.shape[0],), jnp.int32))
-        return run
 
-    run = dag._dev(("tc_rotate_run", chunk), build)
+def _make_bm_run(bchunk: int):
+    @jax.jit
+    def run(bmp, hu_d, hv_d, n_real):
+        def body(c, partials):
+            a = bmp[hu_d[c]]                     # (bchunk, wpad) u32
+            b = bmp[hv_d[c]]
+            return partials.at[c].set(jnp.sum(
+                jax.lax.population_count(a & b).astype(jnp.int32)))
+        return jax.lax.fori_loop(
+            0, n_real, body, jnp.zeros((hu_d.shape[0],), jnp.int32))
+    return run
 
-    # slice the DAG edge range so each slice's chunk-pair count stays
-    # within int32 device indexing (>2^31 pair spaces just take more
-    # slices); the single-slice common case caches its device stream
-    deg = np.diff(dag.rowptr)
-    src_all = np.repeat(np.arange(dag.m, dtype=np.int64), deg)
-    ppe_all = n_chunks[src_all] * n_chunks[np.asarray(dag.colidx,
-                                                      np.int64)]
-    cum_all = np.cumsum(ppe_all)
-    grand_total = int(cum_all[-1]) if len(cum_all) else 0
-    if grand_total == 0:
+
+def tc_rotate(g, *, chunk: int = 1 << 13, presorted_dag: bool = False,
+              use_bitmap: bool = True, use_relabel: bool = True) -> int:
+    """Hybrid bitmap + width-classed rotation triangle count.
+
+    Triangle counts are invariant under vertex relabeling, so the graph
+    is degree-relabeled first (core/relabel.py) — that is what compacts
+    hub out-lists into the bitmap id prefix (_build_bitmap) and gives
+    mid-degree lists block locality for the staircase pruning."""
+    if not presorted_dag and use_relabel:
+        from gardenia_tpu.core.relabel import relabeled
+        g = relabeled(g).graph
+    dag = g if presorted_dag else g._dev(("oriented",), g.oriented)
+    if dag.nnz == 0:
         return 0
-    if grand_total <= PAIR_SLICE_LIMIT:
-        cu_d, cv_d, n_steps = dag._dev(("tc_rotate_data", chunk),
-                                       lambda: pack(0, dag.nnz))
-        out = run(table, cu_d, cv_d, jnp.int32(n_steps))
-        return int(np.asarray(out).astype(np.int64).sum())
+    chunk = max(8, chunk - chunk % 8)
+
+    def prep():
+        table_h, cstart, n_chunks = _chunk_table(dag)
+        clo = table_h[:, 0].astype(np.int64)
+        chi = table_h.max(axis=1).astype(np.int64)
+        fill = (table_h >= 0).sum(axis=1).astype(np.int64)
+        deg = np.diff(dag.rowptr)
+        src = np.repeat(np.arange(dag.m, dtype=np.int64), deg)
+        dst = np.asarray(dag.colidx, np.int64)
+        bm = _build_bitmap(dag, src, dst, deg) if use_bitmap else None
+        hh = bm[3] if bm is not None else np.zeros(dag.nnz, bool)
+        streams = _pair_streams(dag, cstart, n_chunks, clo, chi, fill,
+                                ~hh)
+        th = np.concatenate(
+            [table_h, np.full((1, LANES), -1, np.int32)], axis=0)
+        return th, streams, (bm[0], bm[1], bm[2]) if bm is not None \
+            else None, len(th) - 1
+
+    th_h, streams, bm, sent = dag._dev(("tc_rot3_prep", use_bitmap),
+                                       prep)
+    from gardenia_tpu.ops import rowsel
+    use_pallas = rowsel.enabled()
     total = 0
-    e_lo = 0
-    while e_lo < dag.nnz:
-        base_p = cum_all[e_lo - 1] if e_lo else 0
-        e_hi = int(np.searchsorted(cum_all, base_p + PAIR_SLICE_LIMIT,
-                                   side="right"))
-        e_hi = max(e_hi, e_lo + 1)
-        cu_d, cv_d, n_steps = pack(e_lo, e_hi)
-        out = run(table, cu_d, cv_d, jnp.int32(n_steps))
-        total += int(np.asarray(out).astype(np.int64).sum())
-        e_lo = e_hi
+
+    if bm is not None and len(bm[1]):
+        bmp_h, hu, hv = bm
+        H = bmp_h.shape[0] - 1
+        bchunk = max(8, min(chunk, 2048))
+        bmp_d = dag._dev(("tc_bm_table",), lambda: jnp.asarray(bmp_h))
+        run_bm = dag._dev(("tc_bm_run", bchunk),
+                          lambda: _make_bm_run(bchunk))
+        for lo in range(0, len(hu), PAIR_SLICE_LIMIT):
+            sl = slice(lo, lo + PAIR_SLICE_LIMIT)
+            if lo == 0 and len(hu) <= PAIR_SLICE_LIMIT:
+                hu_d, hv_d, n_steps = dag._dev(
+                    ("tc_bm_data", bchunk),
+                    lambda: _pack_stream(hu, hv, bchunk, H, H))
+            else:
+                hu_d, hv_d, n_steps = _pack_stream(hu[sl], hv[sl],
+                                                   bchunk, H, H)
+            out = run_bm(bmp_d, hu_d, hv_d, jnp.int32(n_steps))
+            total += int(np.asarray(out).astype(np.int64).sum())
+
+    table = dag._dev(("tc_rot3_table",), lambda: jnp.asarray(th_h))
+    for W in sorted(streams):
+        cu, cv = streams[W]
+        run = dag._dev(("tc_rot3_run", W, chunk, use_pallas),
+                       lambda W=W: _make_rot_run(W, chunk, use_pallas))
+        for lo in range(0, len(cu), PAIR_SLICE_LIMIT):
+            sl = slice(lo, lo + PAIR_SLICE_LIMIT)
+            if lo == 0 and len(cu) <= PAIR_SLICE_LIMIT:
+                cu_d, cv_d, n_steps = dag._dev(
+                    ("tc_rot3_data", W, chunk),
+                    lambda W=W, cu=cu, cv=cv: _pack_stream(
+                        cu, cv, chunk, sent, 0))
+            else:
+                cu_d, cv_d, n_steps = _pack_stream(cu[sl], cv[sl],
+                                                   chunk, sent, 0)
+            out = run(table, cu_d, cv_d, jnp.int32(n_steps))
+            total += int(np.asarray(out).astype(np.int64).sum())
     return total
 
 
