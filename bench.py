@@ -55,7 +55,7 @@ def get_graph(scale: int, need_reverse: bool):
     return g
 
 
-_HYBRID_CACHE_VERSION = 3   # bump when ops/bsr.py layouts change
+_HYBRID_CACHE_VERSION = 4   # bump when ops/bsr.py layouts change
 
 
 def warm_hybrid(g, scale: int) -> None:
@@ -139,8 +139,11 @@ def bench_spmv(scale: int, reps: int = 8):
     rel = relabeled(g)
     g2 = rel.graph
     w2 = np.full(g2.nnz, 0.2, np.float32)
+    # uniform weights factor into scale * int8 count panels (ops/bsr
+    # constant-value factorization) — same layout economics as the
+    # unweighted hybrid, so the unweighted threshold applies
     host = build_hybrid(g2.rowptr, g2.colidx, w2, num_cols=g2.n,
-                        dense_threshold=64)
+                        dense_threshold=16)
     hyb = jax.tree_util.tree_map(jax.device_put, host)
 
     @jax.jit

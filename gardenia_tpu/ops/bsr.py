@@ -78,7 +78,8 @@ class DensePanel:
         return cls(*children, width=width)
 
 
-class HybridMatrix(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class HybridMatrix:
     """Device (or host) arrays of the hybrid layout: dense row panels
     plus an ELL-slab + dst-sorted-COO remainder (either may be empty).
 
@@ -87,13 +88,34 @@ class HybridMatrix(NamedTuple):
     A stream of f32 panels, threshold 16 instead of 64) and consumers
     multiply y by `scale` once; value-compressed sparse matrices
     (binary/affinity/uniform-weight) are common in the reference's
-    SpMV workloads (src/spmv/main.cc synthesizes uniform weights)."""
-    dense: Tuple[DensePanel, ...]
-    rem: object           # ops.ell.EllMatrix over the remainder edges
-    rem_dst: jax.Array    # i32[R] remainder dst, NON-DECREASING
-    rem_src: jax.Array    # i32[R] remainder src
-    rem_w: object         # f32[R] remainder weights, or None (unweighted)
-    scale: float = 1.0    # static y-multiplier (1.0 = no-op)
+    SpMV workloads (src/spmv/main.cc synthesizes uniform weights).
+    scale is STATIC pytree aux data, so the `scale == 1.0` no-op check
+    stays a compile-time branch under jit."""
+
+    def __init__(self, dense, rem, rem_dst, rem_src, rem_w,
+                 scale: float = 1.0):
+        self.dense = tuple(dense)   # DensePanel width buckets
+        self.rem = rem              # ops.ell.EllMatrix over remainder
+        self.rem_dst = rem_dst      # i32[R] remainder dst, NON-DECREASING
+        self.rem_src = rem_src      # i32[R] remainder src
+        self.rem_w = rem_w          # f32[R] weights, or None (unweighted)
+        self.scale = float(scale)
+
+    def tree_flatten(self):
+        return ((self.dense, self.rem, self.rem_dst, self.rem_src,
+                 self.rem_w), self.scale)
+
+    @classmethod
+    def tree_unflatten(cls, scale, children):
+        return cls(*children, scale=scale)
+
+    def _replace(self, **kw):
+        """NamedTuple-compatible copy-with-overrides."""
+        fields = dict(dense=self.dense, rem=self.rem,
+                      rem_dst=self.rem_dst, rem_src=self.rem_src,
+                      rem_w=self.rem_w, scale=self.scale)
+        fields.update(kw)
+        return HybridMatrix(**fields)
 
     @property
     def num_blocks(self) -> int:
@@ -146,6 +168,17 @@ def build_hybrid(rowptr: np.ndarray,
     rowptr = np.asarray(rowptr, np.int64)
     dst = np.repeat(np.arange(num_rows, dtype=np.int64), np.diff(rowptr))
     src = np.asarray(colidx, np.int64)
+    # constant-value factorization: A = w0 * structure rides the
+    # unweighted int8 count layout (1/4 the f32 A stream) and consumers
+    # scale y once.  Uniform weights are the reference SpMV driver's
+    # own synthesis (src/spmv/main.cc rand weights aside, the verifier
+    # contract is value-agnostic).
+    scale = 1.0
+    if weights is not None and nnz:
+        w0 = np.asarray(weights).flat[0]
+        if w0 != 0 and np.all(weights == w0):
+            scale = float(w0)
+            weights = None
     w = np.ones(nnz, np.float32) if weights is None else \
         np.asarray(weights, np.float32)
     db, dr = dst >> LANE_BITS, (dst & (LANES - 1)).astype(np.int32)
@@ -157,7 +190,11 @@ def build_hybrid(rowptr: np.ndarray,
     uniq, cnt = np.unique(key_s, return_counts=True)
     dense_sel = cnt >= dense_threshold
     if block_dtype == "auto":
-        blk_dtype = np.float32 if weights is not None else np.dtype("int8")
+        # always TRY int8 — the value guard below demotes weighted
+        # panels whose accumulated cells don't fit (int-valued edge
+        # weights, the .gr/generator convention, ride the same 1/4
+        # -traffic stream as unweighted counts)
+        blk_dtype = np.dtype("int8")
     else:
         blk_dtype = np.dtype(block_dtype)
     try:
@@ -209,9 +246,19 @@ def build_hybrid(rowptr: np.ndarray,
         if blk_dtype == np.int8 and (vals.max(initial=0) > 127
                                      or vals.min(initial=0) < -128
                                      or (vals != np.round(vals)).any()):
-            # f32, not bf16: counts > 256 / fractional values must stay
-            # exact (bf16 rounds 257 to 256)
-            blk_dtype = np.dtype("float32")
+            if (vals == np.round(vals)).all() and \
+                    np.abs(vals).max(initial=0) <= 256:
+                # integers up to 256 are exact in bfloat16 (2 B/entry,
+                # half the f32 stream) — covers 1..255 edge weights
+                try:
+                    import ml_dtypes
+                    blk_dtype = np.dtype(ml_dtypes.bfloat16)
+                except Exception:            # pragma: no cover
+                    blk_dtype = np.dtype("float32")
+            else:
+                # f32: counts > 256 / fractional values must stay
+                # exact (bf16 rounds 257 to 256)
+                blk_dtype = np.dtype("float32")
         cell_b = (gi[starts] // cells).astype(np.int64)
         cell_loc = gi[starts] % cells                  # dr*128 + sr
         cell_dr = cell_loc // LANES
@@ -257,7 +304,7 @@ def build_hybrid(rowptr: np.ndarray,
         sorted_by_src=True)
     rem = build_ell(rem_rp, rem_ci, rem_wc, num_cols=num_cols)
     return HybridMatrix(dense, rem, rd, rs,
-                        rw if weights is not None else None)
+                        rw if weights is not None else None, scale)
 
 
 def _pad_operand(x: jax.Array, num_cols: int) -> jax.Array:
@@ -385,6 +432,8 @@ def spmv_hybrid(hyb: HybridMatrix, x: jax.Array, *, num_rows: int,
         from gardenia_tpu.ops.spmv import spmv_ell
         y = spmv_ell(hyb.rem, x, semiring=F32_PLUS_TIMES,
                      num_rows=num_rows, init=y)
+    if hyb.scale != 1.0:       # constant-value factorization (static)
+        y = y * jnp.float32(hyb.scale)
     return y if init is None else y + init.astype(jnp.float32)
 
 
@@ -498,4 +547,6 @@ def spmv_hybrid_batched(hyb: HybridMatrix, x2d: jax.Array, *,
         y = y + jax.ops.segment_sum(gathered, hyb.rem_dst,
                                     num_segments=num_rows,
                                     indices_are_sorted=True)
+    if hyb.scale != 1.0:       # constant-value factorization (static)
+        y = y * jnp.float32(hyb.scale)
     return y

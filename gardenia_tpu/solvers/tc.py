@@ -209,12 +209,18 @@ def _rot_count_pallas(A, B, W: int, interpret: bool = False):
     def kernel(a_ref, b_ref, y_ref):
         from jax.experimental.pallas import tpu as pltpu
         a = a_ref[...]
-        br = b_ref[...]
-        acc = jnp.zeros(a.shape, jnp.int32)
-        for s in range(W):
-            if s:
-                br = pltpu.roll(br, shift=1, axis=1)
+
+        # fori (not an unrolled python loop): unrolling W=128 chained
+        # rolls left ~45 (T,128) temporaries live at once — 22.5 MB of
+        # VMEM stack ("exceeded scoped vmem limit"); the loop carry
+        # keeps exactly two buffers resident
+        def rot(s, carry):
+            acc, br = carry
             acc = acc + (a == br).astype(jnp.int32)
+            return acc, pltpu.roll(br, shift=1, axis=1)
+
+        acc, _ = jax.lax.fori_loop(
+            0, W, rot, (jnp.zeros(a.shape, jnp.int32), b_ref[...]))
         y_ref[...] = acc.reshape(8, Tt // 8, LANES).sum(axis=1)
 
     return pl.pallas_call(

@@ -25,19 +25,28 @@ ANALYTICS = ["bfs", "sssp", "pr", "cc", "bc", "vc", "spmv", "symgs",
 MINING = ["kcl", "motif", "sgl", "fsm"]
 # kernels whose serial oracles stay tractable at scale 16 — these also
 # run on the cached R-MAT-16 graph (1.8M edges) so the regression
-# exercises real load-balancing, not just the 39-vertex fixture
-SCALE16_KERNELS = {"bfs", "sssp", "pr", "cc", "vc", "spmv", "tc"}
+# exercises real load-balancing, not just the 39-vertex fixture.
+# Round 3 widened this from 7 to 12 kernels: bc (serial Brandes), scc
+# (iterative Tarjan), symgs (colored serial sweeps), mst (Kruskal) and
+# sgd (RMSE-decrease contract) all verify at this size.
+SCALE16_KERNELS = {"bfs", "sssp", "pr", "cc", "vc", "spmv", "tc",
+                   "bc", "scc", "symgs", "mst", "sgd"}
+# mining kernels verify on a mid-scale R-MAT (scale 12 = 4096 vertices,
+# under the CLI's serial-oracle gates); values are the FULL positional
+# tail after <filetype> <path> (kcl: sym + k; fsm: minsup + max-size —
+# its CLI has no symmetrize slot, main.cc:9-11)
+MID12_KERNELS = {"kcl": ("1", "4"), "fsm": ("2", "2")}
 
 
-def _rmat16_prefix():
-    """Generate/caches the scale-16 R-MAT binary (shared with bench.py)."""
+def _rmat_prefix(scale: int):
+    """Generate/cache an R-MAT binary (shared with bench.py)."""
     try:
         from bench import get_graph
-        get_graph(16, need_reverse=True)
+        get_graph(scale, need_reverse=True)
         return os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            ".bench_cache", "rmat16")
+                            ".bench_cache", f"rmat{scale}")
     except Exception as ex:                       # pragma: no cover
-        print(f"(skipping rmat16 regression: {ex})")
+        print(f"(skipping rmat{scale} regression: {ex})")
         return None
 
 
@@ -61,24 +70,30 @@ def main():
                 if f.endswith(".mtx"):
                     datasets.append(("mtx", os.path.join(extra, f), "1"))
 
-    big = None
+    big = mid = None
     if not args.quick and not args.datasets:
-        prefix = _rmat16_prefix()
+        prefix = _rmat_prefix(16)
         if prefix:
             big = ("bin", prefix, "1")
+        prefix12 = _rmat_prefix(12)
+        if prefix12:
+            mid = ("bin", prefix12, "1")
 
     kernels = args.kernels.split(",")
     failures = 0
     total_runs = 0
     for kernel in kernels:
-        targets = datasets + ([big] if big and kernel in SCALE16_KERNELS
-                              else [])
+        targets = [(ft, path, (sym,)) for ft, path, sym in datasets]
+        if big and kernel in SCALE16_KERNELS:
+            targets.append((big[0], big[1], (big[2],)))
+        if mid and kernel in MID12_KERNELS:
+            targets.append((mid[0], mid[1], MID12_KERNELS[kernel]))
         total_runs += len(targets)
-        for ft, path, sym in targets:
+        for ft, path, tail in targets:
             cmd = [sys.executable, "-u", "-m", "gardenia_tpu.cli", kernel]
             if args.device:
                 cmd.append(f"--device={args.device}")
-            cmd += [ft, path, sym]
+            cmd += [ft, path, *tail]
             t0 = time.time()
             env = dict(os.environ,
                        JAX_COMPILATION_CACHE_DIR=os.path.abspath(

@@ -207,3 +207,54 @@ def test_split_bf16_reconstructs():
     assert err.max() < 2 ** -15
     # hi is a truncation: |lo| reaches ~x * 2^-8, far from zero
     assert np.abs(lo).max() > 1e-3
+
+
+def test_hybrid_constant_weight_scale():
+    """Uniform weights factor into scale x int8 count panels; results
+    must equal the f32 reference product."""
+    import jax.numpy as jnp
+
+    from gardenia_tpu.ops.bsr import build_hybrid, spmv_hybrid, \
+        spmv_hybrid_batched
+    from tests.conftest import random_graph
+    g = random_graph(m=300, avg_deg=8, seed=11, symmetric=True)
+    w = np.full(g.nnz, 0.25, np.float32)
+    hyb = build_hybrid(g.rowptr, g.colidx, w, num_cols=g.n,
+                       dense_threshold=4)
+    assert hyb.scale == 0.25
+    assert not any(p.panel.dtype == np.float32 for p in hyb.dense)
+    x = np.random.default_rng(0).random(g.n).astype(np.float32)
+    y = np.asarray(spmv_hybrid(hyb, jnp.asarray(x), num_rows=g.m))
+    dense = np.zeros((g.m, g.n), np.float32)
+    src = np.repeat(np.arange(g.m), np.diff(g.rowptr))
+    np.add.at(dense, (src, g.colidx), w)
+    np.testing.assert_allclose(y, dense @ x, rtol=2e-5, atol=2e-5)
+    x2 = np.random.default_rng(1).random((g.n, 4)).astype(np.float32)
+    y2 = np.asarray(spmv_hybrid_batched(hyb, jnp.asarray(x2),
+                                        num_rows=g.m))
+    np.testing.assert_allclose(y2, dense @ x2, rtol=2e-5, atol=2e-5)
+
+
+def test_hybrid_int_weights_int8_or_bf16_panels():
+    """Integer edge weights (1..255) ride int8 or exact-bf16 panels,
+    never f32, and stay exact."""
+    import jax.numpy as jnp
+
+    from gardenia_tpu.ops.bsr import build_hybrid, spmv_hybrid
+    from tests.conftest import random_graph
+    g = random_graph(m=260, avg_deg=9, seed=3, symmetric=True)
+    rng = np.random.default_rng(7)
+    w = rng.integers(1, 256, g.nnz).astype(np.float32)
+    hyb = build_hybrid(g.rowptr, g.colidx, w, num_cols=g.n,
+                       dense_threshold=4)
+    assert hyb.scale == 1.0
+    assert all(p.panel.dtype != np.float32 for p in hyb.dense)
+    x = (rng.random(g.n) * 2 - 1).astype(np.float32)
+    y = np.asarray(spmv_hybrid(hyb, jnp.asarray(x), num_rows=g.m))
+    dense = np.zeros((g.m, g.n), np.float32)
+    src = np.repeat(np.arange(g.m), np.diff(g.rowptr))
+    np.add.at(dense, (src, g.colidx), w)
+    # split-bf16 error ~2^-16 of the row 1-norm (|w| up to 255) — well
+    # inside the reference SpMV sqrt(eps)-scaled contract
+    # (src/spmv/spmv_util.h:16-43)
+    np.testing.assert_allclose(y, dense @ x, rtol=2e-3, atol=1e-2)
