@@ -255,8 +255,8 @@ def vc_solver_dist2d(g, *, mesh: Mesh = None,
     return VCResult(colors, ncol, it)
 
 
-def tc_solver_dist2d(g, *, mesh: Mesh = None, chunk: int = 1 << 14
-                     ) -> int:
+def tc_solver_dist2d(g, *, mesh: Mesh = None, chunk: int = 1 << 14,
+                     wedge_budget: int = 1 << 22) -> int:
     """Triangle counting over column-restricted adjacency panels with a
     row-axis all-gather halo.
 
@@ -304,33 +304,47 @@ def tc_solver_dist2d(g, *, mesh: Mesh = None, chunk: int = 1 << 14
 
     # wedge streams: wedge (edge e=(u,v), w in N+(u) ∩ C_k) assigned to
     # device (row slice of e, k).  Edge slices balance the wedge space.
+    # Round 3: the stream is processed in host-side EDGE-RANGE SLICES
+    # of bounded per-device capacity (one fixed shape -> one compiled
+    # executable), so the host never materializes the full O(wedges)
+    # stream — RMAT-20 has 2^33+ wedges; the round-2 version OOMed
+    # exactly like single-chip tc_bsearch would without its slicing.
     deg = np.diff(dag.rowptr)
     wpe = deg[src_all].astype(np.int64)
     cum = np.cumsum(wpe)
-    per_slice = (cum[-1] if len(cum) else 0) / r
+    total_w = int(cum[-1]) if len(cum) else 0
+    per_slice = total_w / r
     slice_of_edge = np.minimum((cum - wpe) // max(per_slice, 1),
                                r - 1).astype(np.int64)
-    # expand wedges on host (static demux, same philosophy as tc_rotate)
-    e_ids = np.repeat(np.arange(nnz, dtype=np.int64), deg[src_all])
-    base = np.repeat(cum - wpe, deg[src_all])
-    w_slot = np.arange(len(e_ids)) - base
-    w_vals = dst_all[dag.rowptr[src_all[e_ids]] + w_slot]
-    wkey = slice_of_edge[e_ids] * c + (w_vals // cols_per)
-    wq = np.bincount(wkey, minlength=r * c)
-    Wmax = T.round_up(max(int(wq.max()), 8), 8)
-    q_w = np.full((r * c, Wmax), m, np.int32)     # sentinel m = invalid
-    q_v = np.full((r * c, Wmax), m, np.int32)
-    worder = np.argsort(wkey, kind="stable")
-    woffs = np.concatenate([[0], np.cumsum(wq)[:-1]])
-    wslot = np.arange(len(e_ids)) - woffs[wkey[worder]]
-    q_w[wkey[worder], wslot] = w_vals[worder]
-    q_v[wkey[worder], wslot] = dst_all[e_ids][worder]
+    Ws = T.round_up(min(max(int(wedge_budget), 8),
+                        T.round_up(max(total_w, 8), 8)), 8)
+    n_chunks = -(-Ws // chunk)
+
+    def build_slice(e0: int, e1: int):
+        """(r*c, Ws) wedge queues for the DAG edge range [e0, e1)."""
+        sl = slice(e0, e1)
+        deg_sl = deg[src_all[sl]]
+        e_ids = e0 + np.repeat(np.arange(e1 - e0, dtype=np.int64),
+                               deg_sl)
+        off_in_edge = np.arange(len(e_ids), dtype=np.int64) - \
+            np.repeat(np.cumsum(deg_sl) - deg_sl, deg_sl)
+        w_vals = dst_all[dag.rowptr[src_all[e_ids]] + off_in_edge]
+        wkey = slice_of_edge[e_ids] * c + (w_vals // cols_per)
+        wq = np.bincount(wkey, minlength=r * c)
+        if int(wq.max()) > Ws:
+            return None                      # caller bisects the range
+        q_w = np.full((r * c, Ws), m, np.int32)   # sentinel m = invalid
+        q_v = np.full((r * c, Ws), m, np.int32)
+        worder = np.argsort(wkey, kind="stable")
+        woffs = np.concatenate([[0], np.cumsum(wq)[:-1]])
+        wslot = np.arange(len(e_ids)) - woffs[wkey[worder]]
+        q_w[wkey[worder], wslot] = w_vals[worder]
+        q_v[wkey[worder], wslot] = dst_all[e_ids][worder]
+        return (jnp.asarray(q_w.reshape(r, c, Ws)),
+                jnp.asarray(q_v.reshape(r, c, Ws)))
 
     p_rowptr_d = jnp.asarray(p_rowptr.reshape(r, c, rows_per + 1))
     p_colidx_d = jnp.asarray(p_colidx.reshape(r, c, Emax))
-    q_w_d = jnp.asarray(q_w.reshape(r, c, Wmax))
-    q_v_d = jnp.asarray(q_v.reshape(r, c, Wmax))
-    n_chunks = -(-Wmax // chunk)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P("r", "c"), P("r", "c"), P("r", "c"),
@@ -349,9 +363,9 @@ def tc_solver_dist2d(g, *, mesh: Mesh = None, chunk: int = 1 << 14
 
         def body(ch, acc):
             j = ch * chunk + jnp.arange(chunk, dtype=jnp.int32)
-            w = rowsel.take(qw, jnp.minimum(j, Wmax - 1))
-            v = rowsel.take(qv, jnp.minimum(j, Wmax - 1))
-            valid = (j < Wmax) & (w < m) & (v < m)
+            w = rowsel.take(qw, jnp.minimum(j, Ws - 1))
+            v = rowsel.take(qv, jnp.minimum(j, Ws - 1))
+            valid = (j < Ws) & (w < m) & (v < m)
             vc = jnp.minimum(v, m - 1)
             piece = vc // rows_per
             vloc = vc - piece * rows_per
@@ -380,4 +394,26 @@ def tc_solver_dist2d(g, *, mesh: Mesh = None, chunk: int = 1 << 14
         local = jax.lax.fori_loop(0, n_chunks, body, jnp.int32(0))
         return jax.lax.psum(jax.lax.psum(local, "c"), "r")
 
-    return int(jax.jit(run)(p_rowptr_d, p_colidx_d, q_w_d, q_v_d))
+    run_j = jax.jit(run)
+    total = 0
+    e0 = 0
+    # greedy edge ranges: target ~half the aggregate queue capacity per
+    # slice, bisect whenever one device's queue would overflow
+    budget = Ws * r * c // 2
+    while e0 < nnz:
+        base_w = cum[e0 - 1] if e0 else 0
+        e1 = int(np.searchsorted(cum, base_w + max(budget, 1),
+                                 side="right"))
+        e1 = max(e1, e0 + 1)
+        while True:
+            qs = build_slice(e0, e1)
+            if qs is not None or e1 == e0 + 1:
+                break
+            e1 = e0 + max((e1 - e0) // 2, 1)
+        if qs is None:
+            raise ValueError(
+                f"wedge_budget {Ws} too small for a single edge's "
+                f"wedges; raise wedge_budget")
+        total += int(run_j(p_rowptr_d, p_colidx_d, qs[0], qs[1]))
+        e0 = e1
+    return total

@@ -157,3 +157,15 @@ def test_msbfs_dp_matches_per_source(mesh):
     for j, s in enumerate(sources):
         np.testing.assert_array_equal(dist[:, j],
                                       oracles.bfs_serial(g, int(s)))
+
+
+def test_tc_dist2d_wedge_slices():
+    """A tiny wedge budget forces multi-slice streaming through one
+    compiled executable (the full wedge stream is never materialized)."""
+    from gardenia_tpu.parallel.two_d import make_mesh2d, tc_solver_dist2d
+    from gardenia_tpu.verify import oracles
+    g = random_graph(m=120, avg_deg=8, seed=3, symmetric=True)
+    mesh2d = make_mesh2d(4)
+    expect = oracles.tc_serial(g.oriented())
+    assert tc_solver_dist2d(g, mesh=mesh2d, chunk=256,
+                            wedge_budget=128) == expect
