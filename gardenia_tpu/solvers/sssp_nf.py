@@ -154,17 +154,16 @@ def _nf_cond_body(g, m: int, Q: int, F: int, cap_e: int,
         return (dist, jnp.full((Q,), m, jnp.int32), jnp.int32(0),
                 fq, fn, thresh, jnp.bool_(True))
 
-    branches = [_make_relax(qs, ce) for qs, ce in tiers] + [burst]
-
-    def near_round(state):
-        dist, q, qn, fq, fn, thresh, it, ovf, delta = state
-        scout = jnp.sum(rowsel.take2d(deg_t, q))
-        idx = jnp.int32(0)
-        for qs, ce in tiers:
-            idx = idx + jnp.where((qn > qs) | (scout > ce), 1, 0)
-        dist, q2, qn2, fq2, fn2, thresh, ovf2 = jax.lax.switch(
-            idx, branches, (dist, q, fq, fn, thresh))
-        return dist, q2, qn2, fq2, fn2, thresh, it + 1, ovf2, delta
+    def _statewrap(inner):
+        """Lift a (dist, q, fq, fn, thresh) -> 7-tuple transform to the
+        full 9-state (one flat switch; see body)."""
+        def br(state):
+            dist, q, qn, fq, fn, thresh, it, ovf, delta = state
+            dist, q2, qn2, fq2, fn2, thresh2, ovf2 = inner(
+                (dist, q, fq, fn, thresh))
+            return (dist, q2, qn2, fq2, fn2, thresh2, it + 1, ovf2,
+                    delta)
+        return br
 
     def advance(state):
         dist, q, qn, fq, fn, thresh, it, ovf, delta = state
@@ -211,11 +210,23 @@ def _nf_cond_body(g, m: int, Q: int, F: int, cap_e: int,
         distf2 = distf.at[:m].set(dist2)
         return distf2, q2, qn2, fq2, fn2, thresh2, it + 1, ovf2, delta
 
+    # ONE flat switch per round: nested lax.cond layers each copy the
+    # whole carry (dist is m-sized) at their boundaries — measured as
+    # the m-scaling component of the per-round cost
+    branches = [_statewrap(_make_relax(qs, ce)) for qs, ce in tiers] + \
+        [_statewrap(burst), advance, dense_rebuild]
+    n_tiers = len(tiers)
+
     def body(state):
-        def not_ovf(state):
-            return jax.lax.cond(state[2] > 0, near_round, advance,
-                                state)
-        return jax.lax.cond(state[7], dense_rebuild, not_ovf, state)
+        _, q, qn, _, _, _, _, ovf, _ = state
+        scout = jnp.sum(rowsel.take2d(deg_t, q))
+        tier_idx = jnp.int32(0)
+        for qs, ce in tiers:
+            tier_idx = tier_idx + jnp.where((qn > qs) | (scout > ce),
+                                            1, 0)
+        idx = jnp.where(ovf, n_tiers + 2,
+                        jnp.where(qn > 0, tier_idx, n_tiers + 1))
+        return jax.lax.switch(idx, branches, state)
 
     return cond, body
 
