@@ -27,7 +27,15 @@ INF = np.int32(T.MYINFINITY)
 
 
 def bfs_solver_dist(g, source: int = 0, *, mesh=None, n_shards=None,
-                    balance: str = "vertices") -> BFSResult:
+                    balance: str = "edges",
+                    layout: str = "hybrid") -> BFSResult:
+    """Distributed bottom-up BFS.  layout='hybrid' (default, round 3)
+    sweeps each shard's row range through the production hybrid panel
+    layout — frontier counts only need sign fidelity, so panels run one
+    bf16 MXU pass; 'ell' keeps the round-2 all-slab gathers."""
+    if layout == "hybrid":
+        return _bfs_dist_hybrid(g, source, mesh=mesh, n_shards=n_shards,
+                                balance=balance)
     if mesh is None:
         mesh = make_mesh(n_shards)
     n = mesh.devices.size
@@ -77,6 +85,91 @@ def bfs_solver_dist(g, source: int = 0, *, mesh=None, n_shards=None,
                                ell_arrays)
     return BFSResult(jnp.asarray(parts.from_padded(np.asarray(dist))),
                      depth)
+
+
+def _bfs_dist_hybrid(g, source: int, *, mesh=None, n_shards=None,
+                     balance: str = "edges") -> BFSResult:
+    from gardenia_tpu.core.relabel import relabeled
+    from gardenia_tpu.parallel.partition import partition_hybrid_1d
+
+    if mesh is None:
+        mesh = make_mesh(n_shards)
+    n = mesh.devices.size
+    rel = relabeled(g)
+    g2 = rel.graph
+    m = g2.m
+    # shared with _pr_dist_hybrid via the same cache key
+    parts = g2._dev(("hybrid_part1d", n, balance),
+                    lambda: partition_hybrid_1d(g2, n, reverse=True,
+                                                balance=balance))
+    mb = parts.rows_per_shard
+    mbB = mb // 128
+    widths = [w for w, _, _, _ in parts.panels]
+    panels = tuple((jnp.asarray(pn), jnp.asarray(sr), jnp.asarray(ro))
+                   for _, pn, sr, ro in parts.panels)
+    rem = jax.tree_util.tree_map(jnp.asarray, parts.rem)
+
+    src_new = int(rel.new_of_old[source])
+    src_pad = int(parts.bounds[0])   # recompute below via pad map
+    sshard = int(np.searchsorted(parts.bounds, src_new,
+                                 side="right") - 1)
+    src_pad = sshard * mb + (src_new - int(parts.bounds[sshard]))
+    dist0 = np.full(n * mb, INF, np.int32)
+    dist0[src_pad] = 0
+    frontier0 = np.zeros(n * mb, np.float32)
+    frontier0[src_pad] = 1.0
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("v"), P("v"), P("v"), P("v")),
+             out_specs=(P("v"), P()))
+    def run(dist_l, frontier_l, panels_l, rem_l):
+        pls = tuple((w, p[0], s[0], r[0]) for w, (p, s, r)
+                    in zip(widths, panels_l))
+        rbuckets = tuple((r[0], c[0], None) for r, c, _ in rem_l.buckets)
+
+        def local_count(x_full):
+            # counting sweep: one bf16 pass (only cnt > 0 is consumed)
+            xb = x_full.astype(jnp.bfloat16).reshape(-1, 128, 1)
+            y3d = jnp.zeros((mbB, 128), jnp.float32)
+            for w, panel, srct, rows in pls:
+                R = panel.shape[0]
+                a = panel.astype(jnp.bfloat16) \
+                    if panel.dtype != jnp.float32 else panel
+                xg = xb[srct].reshape(R, w * 128, 1)
+                if a.dtype == jnp.float32:
+                    xg = xg.astype(jnp.float32)
+                part = jnp.einsum("riw,rwk->rik", a, xg,
+                                  preferred_element_type=jnp.float32)
+                y3d = y3d.at[rows].add(part[..., 0], mode="drop")
+            y = y3d.reshape(-1)
+            x_ext = jnp.concatenate(
+                [x_full, jnp.zeros((1,), jnp.float32)])
+            for rids, cols, _ in rbuckets:
+                y = y.at[rids].add(jnp.sum(x_ext[cols], axis=0),
+                                   mode="drop")
+            return y
+
+        def cond(state):
+            _, _, _, alive = state
+            return alive > 0
+
+        def body(state):
+            dist, frontier, depth, _ = state
+            f_full = jax.lax.all_gather(frontier, "v", tiled=True)
+            cnt = local_count(f_full)
+            newly = (cnt > 0.5) & (dist == INF)
+            dist = jnp.where(newly, depth + 1, dist)
+            alive = jax.lax.psum(jnp.sum(newly.astype(jnp.int32)), "v")
+            return dist, newly.astype(jnp.float32), depth + 1, alive
+
+        state = (dist_l, frontier_l, jnp.int32(0), jnp.int32(1))
+        dist, _, depth, _ = jax.lax.while_loop(cond, body, state)
+        return dist, depth
+
+    dist, depth = jax.jit(run)(jnp.asarray(dist0),
+                               jnp.asarray(frontier0), panels, rem)
+    dist_new = parts.from_padded(np.asarray(dist))
+    return BFSResult(jnp.asarray(dist_new[rel.new_of_old]), depth)
 
 
 def bfs_multi_source_dist(g, sources, *, mesh=None,
