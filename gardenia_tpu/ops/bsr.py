@@ -393,13 +393,17 @@ def _dense_apply(dense: Tuple[DensePanel, ...], x3d: jax.Array, mb: int,
 
 def spmv_hybrid(hyb: HybridMatrix, x: jax.Array, *, num_rows: int,
                 init: Optional[jax.Array] = None,
-                use_pallas: Optional[bool] = None) -> jax.Array:
+                use_pallas: Optional[bool] = None,
+                exact: bool = True) -> jax.Array:
     """y = A x (plus-times, f32) over the hybrid layout.
 
     Equivalent to spmv_ell(..., F32_PLUS_TIMES) on the same matrix; this
     is the bandwidth-optimal production path for PR/SpMV-class kernels.
     use_pallas selects the hand-fused panel kernel (ops/pallas_bsr.py,
     S=1) over the XLA einsum lowering (None -> module default).
+    exact=False runs the dense part with a single bf16 operand pass
+    (half the work of the hi/lo split) — safe when only sign/zero or
+    ~3-digit accuracy is consumed, e.g. BFS frontier counting sweeps.
     """
     if use_pallas is None:
         use_pallas = USE_PALLAS_DENSE and _pallas_ok()
@@ -416,6 +420,9 @@ def spmv_hybrid(hyb: HybridMatrix, x: jax.Array, *, num_rows: int,
             # split — taken by weighted panels and by the small-dense
             # accuracy branch (which upcasts A to f32 too)
             x3d = flat.reshape(qx, LANES, 1)
+            split = False
+        elif not exact:
+            x3d = flat.astype(jnp.bfloat16).reshape(qx, LANES, 1)
             split = False
         else:
             hi, lo = _split_bf16(flat)

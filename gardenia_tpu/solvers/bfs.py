@@ -69,7 +69,9 @@ def _count_sweep(m: int, in_ell=None):
             return spmv_ell(in_ell, mask.astype(jnp.int32),
                             semiring=I32_PLUS_TIMES, num_rows=m)
         from gardenia_tpu.ops.bsr import spmv_hybrid
-        return spmv_hybrid(hyb, mask.astype(jnp.float32), num_rows=m)
+        # counting mode: only cnt > 0 is consumed — one bf16 pass
+        return spmv_hybrid(hyb, mask.astype(jnp.float32), num_rows=m,
+                           exact=False)
     return sweep
 
 
