@@ -132,6 +132,19 @@ def dense_panel_minselect(panel: jax.Array, xg: jax.Array,
     snt = int(sentinel)    # python literal — traced captures are
     #                        rejected by pallas_call
 
+    # 8 row slots per grid step: a (1, 128, 1) output block forced a
+    # 1-lane layout (measured ~6x slower than the ELL path at RMAT-16);
+    # (8, 128) output blocks are the legal Mosaic tile
+    SLOTS = 8
+    R8 = ((R + SLOTS - 1) // SLOTS) * SLOTS
+    if R8 != R:
+        panel = jnp.concatenate(
+            [panel, jnp.zeros((R8 - R,) + panel.shape[1:],
+                              panel.dtype)], axis=0)
+        xg = jnp.concatenate(
+            [xg, jnp.zeros((R8 - R,) + xg.shape[1:], xg.dtype)],
+            axis=0)
+
     def kernel(a_ref, x_ref, y_ref):
         t = pl.program_id(1)
 
@@ -139,28 +152,29 @@ def dense_panel_minselect(panel: jax.Array, xg: jax.Array,
         def _():
             y_ref[...] = jnp.full_like(y_ref, snt)
 
-        # one 128-column sub-block at a time: the single-shot
-        # (128, Wt*128) masked broadcast allocated a 512 KB i32 stack
-        # temp per step, which ran VMEM out of stack space once the
-        # fused CC while_loop held several width buckets' kernels;
-        # (128, 128) temps keep the whole step under ~150 KB
-        acc = y_ref[0, :, 0]
+        # one 128-column sub-block at a time: the single-shot masked
+        # broadcast allocated a 512 KB+ i32 stack temp per step, which
+        # ran VMEM out of stack space once the fused CC while_loop held
+        # several width buckets' kernels; (8, 128, 128) temps keep the
+        # step bounded
+        acc = y_ref[...]
         for wl in range(Wt):
-            aw = a_ref[0][:, wl * LANES:(wl + 1) * LANES]
-            xw = x_ref[0][wl * LANES:(wl + 1) * LANES, 0]
-            cand = jnp.where(aw != 0, xw[None, :], jnp.int32(snt))
-            acc = jnp.minimum(acc, jnp.min(cand, axis=1))
-        y_ref[0, :, 0] = acc
+            aw = a_ref[:, :, wl * LANES:(wl + 1) * LANES]
+            xw = x_ref[:, wl * LANES:(wl + 1) * LANES, 0]
+            cand = jnp.where(aw != 0, xw[:, None, :], jnp.int32(snt))
+            acc = jnp.minimum(acc, jnp.min(cand, axis=2))
+        y_ref[...] = acc
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(R, nT),
+        grid=(R8 // SLOTS, nT),
         in_specs=[
-            pl.BlockSpec((1, LANES, Wt * LANES),
+            pl.BlockSpec((SLOTS, LANES, Wt * LANES),
                          lambda r, t: (r, 0, t)),
-            pl.BlockSpec((1, Wt * LANES, 1), lambda r, t: (r, t, 0)),
+            pl.BlockSpec((SLOTS, Wt * LANES, 1), lambda r, t: (r, t, 0)),
         ],
-        out_specs=pl.BlockSpec((1, LANES, 1), lambda r, t: (r, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((R, LANES, 1), jnp.int32),
+        out_specs=pl.BlockSpec((SLOTS, LANES), lambda r, t: (r, 0)),
+        out_shape=jax.ShapeDtypeStruct((R8, LANES), jnp.int32),
         interpret=interpret,
     )(panel, xg)
+    return out[:R, :, None]
