@@ -326,9 +326,44 @@ def bench_sssp(scale: int):
                        "m": g.m}}
 
 
+# Mining floors (round 3): the reference's mining suite publishes no
+# tables either; these are Pangolin/G2Miner-class A100 rates on
+# LiveJournal-scale inputs (order-of-magnitude stand-ins so mining
+# optimization has a measured floor, VERDICT r2 item 10).
+BASELINE_KCL4_MCPS = 200.0    # M 4-cliques listed / s
+BASELINE_MOTIF4_MEPS = 50.0   # M edges / s for the 4-motif census
+
+
+def bench_kcl(scale: int, k: int = 4):
+    from gardenia_tpu.mining.kcl import kcl_solver
+    from gardenia_tpu.utils.timer import time_op
+    g = get_graph(scale, need_reverse=False)
+    total, secs = time_op(lambda: kcl_solver(g, k), warmup=1, iters=2)
+    mcps = total / secs / 1e6
+    return {"metric": f"kcl{k}_mcps_rmat{scale}", "value": round(mcps, 3),
+            "unit": "M cliques/s",
+            "vs_baseline": round(mcps / BASELINE_KCL4_MCPS, 4),
+            "detail": {"cliques": int(total), "k": k,
+                       "ms": round(secs * 1e3, 3), "nnz": g.nnz}}
+
+
+def bench_motif(scale: int, k: int = 4):
+    from gardenia_tpu.mining.motif import motif_solver
+    from gardenia_tpu.utils.timer import time_op
+    g = get_graph(scale, need_reverse=False)
+    census, secs = time_op(lambda: motif_solver(g, k), warmup=1, iters=2)
+    meps = g.nnz / secs / 1e6
+    return {"metric": f"motif{k}_meps_rmat{scale}",
+            "value": round(meps, 3), "unit": "M edges/s",
+            "vs_baseline": round(meps / BASELINE_MOTIF4_MEPS, 4),
+            "detail": {"census": {nm: int(v) for nm, v in census.items()},
+                       "ms": round(secs * 1e3, 3), "nnz": g.nnz}}
+
+
 KERNELS = {"pr": bench_pr, "spmv": bench_spmv, "bfs": bench_bfs,
            "msbfs": bench_msbfs, "cc": bench_cc, "tc": bench_tc,
-           "bc": bench_bc, "sgd": bench_sgd, "sssp": bench_sssp}
+           "bc": bench_bc, "sgd": bench_sgd, "sssp": bench_sssp,
+           "kcl": bench_kcl, "motif": bench_motif}
 
 
 def main():
