@@ -241,9 +241,14 @@ def bfs_do_fused(g, source: int, *, layout: str = "auto") -> BFSResult:
         # power-law traversal (frontiers of 1..10^4 edges) must not
         # pay the full E/alpha capacity.  lax.switch picks the
         # smallest tier that fits this round's out-edge count.
+        # top tier clamped at 512K: expansions beyond that cost more
+        # than the dense bottom-up sweep they'd replace, and
+        # multi-million-slot scatters under lax.switch compile
+        # pathologically on the axon toolchain (see solvers/cc.py)
+        cap_t = min(cap_e, 1 << 19)
         tiers = []
         for shift in (6, 3, 0):
-            ce = max(1024, cap_e >> shift)
+            ce = max(1024, cap_t >> shift)
             ci = min(T.next_pow2(max(m, 2)), ce)
             if (ci, ce) not in tiers:
                 tiers.append((ci, ce))

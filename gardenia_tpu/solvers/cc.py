@@ -66,11 +66,14 @@ def cc_sv(g, *, layout: str = "ell") -> CCResult:
     (ops/pallas_bsr.dense_panel_minselect, the hybrid's min-semiring
     counterpart to the MXU plus-times path) and only the remainder
     pays rowsel gathers; labels live in relabeled id space and map
-    back at the end.  Correct on the virtual-mesh/interpret tests, but
-    the fused while_loop currently exceeds the VMEM budget at compile
-    on v5e for multi-bucket graphs ("Ran out of memory in memory space
-    vmem while allocating on stack") — keep 'ell' as the default until
-    the kernels move to scoped VMEM."""
+    back at the end.  Correct on the virtual-mesh/interpret tests and
+    (round 3) the kernel's VMEM stack fits after the sub-block rework,
+    but an early r3 measurement had the panel min-select LOSING to the
+    ELL sweep at RMAT-16 (400 vs 67 ms — the xg gather + per-slot grid
+    overheads dominate a min that has no MXU to ride), and later
+    compile attempts of the fused loop hung the axon remote compiler
+    outright.  'ell' + the round-3 frontier-ized rounds stay the
+    production path."""
     from gardenia_tpu.ops import I32_MIN_SELECT2, spmv_ell
     from gardenia_tpu.solvers.bfs import _resolve_layout
 
@@ -142,7 +145,13 @@ def cc_sv(g, *, layout: str = "ell") -> CCResult:
         deg_all = gsrc.device_degrees()
         if not gsrc.symmetric:
             deg_all = deg_all + gsrc.device_degrees(reverse=True)
+        # top tier clamped at 512K slots: beyond that the dense sweep
+        # is cheaper anyway (13 gather-class ops x ~4 ns/slot vs one
+        # O(E) min-select), and multi-million-slot scatter shapes under
+        # lax.switch sent the axon remote compiler into 20+ minute
+        # territory (twice wedging the tunnel outright)
         cap_base = _T.next_pow2(max(len(dirs) * nnz // 8, 1024))
+        cap_base = min(cap_base, 1 << 19)
         tiers_cc = []
         for shift in (8, 4, 0):
             ce = max(2048, cap_base >> shift)
