@@ -126,6 +126,11 @@ def cc_sv(g, *, layout: str = "ell") -> CCResult:
                 nbr = y if nbr is None else jnp.minimum(nbr, y)
             return nbr
 
+        # ALL device buffers (ELL slabs / hybrid panels, CSR dirs,
+        # degrees, relabel maps) must flow through jit ARGUMENTS: at
+        # scale 20 the closed-over buffers exceed the axon remote
+        # compiler's request-body limit (HTTP 413, CLAUDE.md gotcha).
+
         # frontier-ized rounds (round 3): after the first 1-2 rounds
         # only a few labels still move, yet every round paid the full
         # O(E) min-select sweep (~143 ms at RMAT-20).  Label-correcting
@@ -138,8 +143,7 @@ def cc_sv(g, *, layout: str = "ell") -> CCResult:
         from gardenia_tpu.ops.frontier import (compact_mask,
                                                expand_frontier_edges)
         nnz = gsrc.nnz
-        rowptr, colidx = gsrc.device_csr()
-        dirs = [(rowptr, colidx)]
+        dirs = [gsrc.device_csr()]
         if not gsrc.symmetric:
             dirs.append(gsrc.device_csr(reverse=True))
         deg_all = gsrc.device_degrees()
@@ -158,39 +162,37 @@ def cc_sv(g, *, layout: str = "ell") -> CCResult:
             if ce not in tiers_cc:
                 tiers_cc.append(ce)
 
-        def _sparse_round(ce):
-            def go(args):
-                comp, changed = args
-                ids = compact_mask(changed & (deg_all > 0),
-                                   min(_T.next_pow2(max(m, 2)), ce), m)
-                new = comp
-                for rp, ci in dirs:
-                    src, dst, valid, _ = expand_frontier_edges(
-                        rp, ci, ids, ce)
-                    lbl = rowsel.take(comp, src)
-                    new = new.at[jnp.where(valid, dst, m)].min(
-                        lbl, mode="drop")
+        def run(comp0, mats, dirs_, deg_all_, new_of_old_, old_of_new_):
+            def _sparse_round(ce):
+                def go(args):
+                    comp, changed = args
+                    ids = compact_mask(changed & (deg_all_ > 0),
+                                       min(_T.next_pow2(max(m, 2)), ce),
+                                       m)
+                    new = comp
+                    for rp, ci in dirs_:
+                        src, dst, valid, _ = expand_frontier_edges(
+                            rp, ci, ids, ce)
+                        lbl = rowsel.take(comp, src)
+                        new = new.at[jnp.where(valid, dst, m)].min(
+                            lbl, mode="drop")
+                    hooked = comp.at[comp].min(new, mode="drop")
+                    return jnp.minimum(hooked, new)
+                return go
+
+            def _dense_round(args):
+                comp, _ = args
+                nbr = sweep(mats, comp)
+                new = jnp.minimum(comp, nbr)
+                # hook each vertex's current root down to its new
+                # label, and the new label's root likewise (two
+                # m-sized scatters replace the reference Link's
+                # per-edge CAS)
                 hooked = comp.at[comp].min(new, mode="drop")
-                return pointer_jump(jnp.minimum(hooked, new))
-            return go
+                hooked = hooked.at[jnp.minimum(nbr, m - 1)].min(
+                    jnp.where(nbr < m, new, m), mode="drop")
+                return jnp.minimum(hooked, comp)
 
-        def _dense_round(args):
-            comp, _ = args
-            nbr = sweep(mats_c[0], comp)
-            new = jnp.minimum(comp, nbr)
-            # hook each vertex's current root down to its new label,
-            # and the new label's root likewise (two m-sized
-            # scatters replace the reference Link's per-edge CAS)
-            hooked = comp.at[comp].min(new, mode="drop")
-            hooked = hooked.at[jnp.minimum(nbr, m - 1)].min(
-                jnp.where(nbr < m, new, m), mode="drop")
-            return pointer_jump(jnp.minimum(hooked, comp))
-
-        mats_c = []
-
-        def run(comp0, mats, new_of_old_, old_of_new_):
-            mats_c.clear()
-            mats_c.append(mats)
             branches = [_sparse_round(ce) for ce in tiers_cc] + \
                 [_dense_round]
 
@@ -200,11 +202,15 @@ def cc_sv(g, *, layout: str = "ell") -> CCResult:
 
             def body(state):
                 comp, changed, it = state
-                scout = jnp.sum(jnp.where(changed, deg_all, 0))
+                scout = jnp.sum(jnp.where(changed, deg_all_, 0))
                 idx = jnp.int32(0)
                 for ce in tiers_cc:
                     idx = idx + jnp.where(scout > ce, 1, 0)
-                comp2 = jax.lax.switch(idx, branches, (comp, changed))
+                # pointer_jump ONCE after the switch: a while_loop
+                # nested inside every switch branch sent the axon
+                # remote compiler past 25 minutes at scale 20
+                comp2 = pointer_jump(
+                    jax.lax.switch(idx, branches, (comp, changed)))
                 return comp2, comp2 != comp, it + 1
 
             changed0 = jnp.ones((m,), bool)
@@ -213,16 +219,15 @@ def cc_sv(g, *, layout: str = "ell") -> CCResult:
             if new_of_old_ is not None:
                 # back to original id space: positions via new_of_old,
                 # label values via old_of_new
-                from gardenia_tpu.ops import rowsel
                 comp = rowsel.take(old_of_new_,
                                    rowsel.take(comp, new_of_old_))
             return CCResult(comp, it)
 
+        jitted = jax.jit(run)
         if layout == "hybrid":
-            jitted = jax.jit(run)
-            return lambda c0: jitted(c0, hybs, new_of_old, old_of_new)
-        jitted = jax.jit(lambda c0: run(c0, ells, None, None))
-        return jitted
+            return lambda c0: jitted(c0, hybs, dirs, deg_all,
+                                     new_of_old, old_of_new)
+        return lambda c0: jitted(c0, ells, dirs, deg_all, None, None)
 
     run = g._dev(("cc_sv_run", layout), build)
     return run(jnp.arange(m, dtype=jnp.int32))

