@@ -72,8 +72,11 @@ def make_sgd_step(src, dst, ratings, lam, step, num_users, num_items):
     return sgd_step, data
 
 
+PACK_LANES = 128
+
+
 def make_sgd_epoch(src, dst, ratings, lam, step, num_users, num_items,
-                   batches: int, seed: int = 17):
+                   batches: int, seed: int = 17, packed: bool = None):
     """Mini-batched epoch matching the reference's accumulate-then-apply
     semantics (src/sgd/omp_base.cc:40-99): per batch, every touched
     vertex accumulates uerr[i] = sum over its batch edges of
@@ -82,7 +85,17 @@ def make_sgd_epoch(src, dst, ratings, lam, step, num_users, num_items,
     it once per iteration over all vertices.  The squared errors for the
     RMSE trace use each batch's PRE-update factors — the reference
     likewise measures mid-iteration errors (omp_base.cc:92-95, Hogwild
-    estimates).  batches=1 degrades to one synchronous iteration."""
+    estimates).  batches=1 degrades to one synchronous iteration.
+
+    packed (None = auto on TPU): pack 128//KP vertices per 128-lane row
+    with K padded up to KP=32, so the per-edge latent reads become
+    vectorized full-row gathers (~2.2 ns/row measured, ops/rowsel.py)
+    and the per-vertex accumulations become vectorized 128-lane row
+    segment-sums — instead of XLA's ~8 ns/ELEMENT scalar gather/scatter
+    loop that otherwise costs ~4*K scalar ops per edge.  The pad lanes
+    start zero and stay zero (delta, gradients and the regularization
+    are all multiplicative in them), so results match the unpacked
+    path to f32 reduction-order noise."""
     nnz = int(ratings.shape[0])
     per = -(-nnz // batches)
     # static shuffled batch assignment: pad edges to batches*per with
@@ -93,17 +106,35 @@ def make_sgd_epoch(src, dst, ratings, lam, step, num_users, num_items,
     order = np.concatenate([order, np.zeros(pad, np.int32)])
     valid = np.concatenate([np.ones(nnz, np.float32),
                             np.zeros(pad, np.float32)])
-    data = (jnp.asarray(np.asarray(src)[order].reshape(batches, per)),
-            jnp.asarray(np.asarray(dst)[order].reshape(batches, per)),
+    src_b = np.asarray(src)[order].reshape(batches, per)
+    dst_b = np.asarray(dst)[order].reshape(batches, per)
+    v_b = valid.reshape(batches, per)
+    # batch composition is STATIC, so the per-vertex batch-edge counts
+    # that normalize the mean gradient never change — precompute the
+    # per-edge inverse counts once on the host instead of paying two
+    # count segment-sums plus two full-table divisions every batch of
+    # every epoch on device
+    nu_b = np.empty((batches, per), np.float32)
+    ni_b = np.empty((batches, per), np.float32)
+    for b in range(batches):
+        cu = np.zeros(num_users, np.float32)
+        ci = np.zeros(num_items, np.float32)
+        np.add.at(cu, src_b[b], v_b[b])
+        np.add.at(ci, dst_b[b], v_b[b])
+        nu_b[b] = 1.0 / np.maximum(cu[src_b[b]], 1.0)
+        ni_b[b] = 1.0 / np.maximum(ci[dst_b[b]], 1.0)
+    data = (jnp.asarray(src_b), jnp.asarray(dst_b),
             jnp.asarray(np.asarray(ratings)[order].reshape(batches, per)),
-            jnp.asarray(valid.reshape(batches, per)))
+            jnp.asarray(v_b), jnp.asarray(nu_b), jnp.asarray(ni_b))
 
-    def epoch(ulv, ilv, data_):
-        src_b, dst_b, r_b, v_b = data_
+    if packed is None:
+        from gardenia_tpu.ops import rowsel
+        packed = rowsel.enabled()
 
+    def epoch_unpacked(ulv, ilv, data_):
         def body(b, carry):
             ulv, ilv, sq = carry
-            s, d, r, v = src_b[b], dst_b[b], r_b[b], v_b[b]
+            s, d, r, v, nu, ni = (a[b] for a in data_)
             us, it_ = ulv[s], ilv[d]                      # (per, K)
             delta = (r - jnp.einsum("ek,ek->e", us, it_)) * v
             sq = sq + jnp.sum(delta * delta)
@@ -111,16 +142,13 @@ def make_sgd_epoch(src, dst, ratings, lam, step, num_users, num_items,
             # hundreds of edges per batch, and a summed update at any
             # usable global step diverges on power-law data (the
             # reference copes with a 3.5e-7 global step, sgd.h:27);
-            # normalizing by the batch count makes the step scale
+            # normalizing by the batch-edge count (the precomputed
+            # per-edge inverse counts nu/ni) makes the step scale
             # degree-free, so convergence is fast on hubs AND tails
-            ucnt = jax.ops.segment_sum(v, s, num_segments=num_users)
-            icnt = jax.ops.segment_sum(v, d, num_segments=num_items)
-            uerr = jax.ops.segment_sum(it_ * delta[:, None], s,
-                                       num_segments=num_users) / \
-                jnp.maximum(ucnt, 1.0)[:, None]
-            ierr = jax.ops.segment_sum(us * delta[:, None], d,
-                                       num_segments=num_items) / \
-                jnp.maximum(icnt, 1.0)[:, None]
+            uerr = jax.ops.segment_sum(it_ * (delta * nu)[:, None], s,
+                                       num_segments=num_users)
+            ierr = jax.ops.segment_sum(us * (delta * ni)[:, None], d,
+                                       num_segments=num_items)
             return ulv + step * uerr, ilv + step * ierr, sq
 
         ulv, ilv, sq = jax.lax.fori_loop(
@@ -130,7 +158,57 @@ def make_sgd_epoch(src, dst, ratings, lam, step, num_users, num_items,
         ilv = ilv - step * lam * ilv
         return ulv, ilv, jnp.sqrt(sq / nnz)
 
-    return epoch, data
+    def epoch_packed(ulv, ilv, data_):
+        m_, k_ = ulv.shape
+        n_ = ilv.shape[0]
+        kp = 8
+        while kp < k_:
+            kp *= 2                       # K=20 -> KP=32
+        vpr = PACK_LANES // kp            # vertices per 128-lane row
+        shift = vpr.bit_length() - 1
+        rows_u, rows_i = -(-m_ // vpr), -(-n_ // vpr)
+        lanes = jnp.arange(vpr, dtype=jnp.int32)
+
+        def pack(x, rows):
+            buf = jnp.zeros((rows * vpr, kp), jnp.float32)
+            return buf.at[:x.shape[0], :x.shape[1]].set(x) \
+                      .reshape(rows, PACK_LANES)
+
+        def body(b, carry):
+            up, ip, sq = carry
+            s, d, r, v, nu, ni = (a[b] for a in data_)
+            srow, smask = s >> shift, \
+                ((s & (vpr - 1))[:, None] == lanes).astype(jnp.float32)
+            drow, dmask = d >> shift, \
+                ((d & (vpr - 1))[:, None] == lanes).astype(jnp.float32)
+            us = (up[srow].reshape(-1, vpr, kp)
+                  * smask[..., None]).sum(1)              # (per, KP)
+            it_ = (ip[drow].reshape(-1, vpr, kp)
+                   * dmask[..., None]).sum(1)
+            delta = (r - jnp.einsum("ek,ek->e", us, it_)) * v
+            sq = sq + jnp.sum(delta * delta)
+            # the precomputed per-edge inverse batch counts nu/ni apply
+            # the per-vertex mean normalization inside the scatter
+            uerr = jax.ops.segment_sum(
+                ((it_ * (delta * nu)[:, None])[:, None, :]
+                 * smask[..., None]
+                 ).reshape(-1, PACK_LANES), srow, num_segments=rows_u)
+            ierr = jax.ops.segment_sum(
+                ((us * (delta * ni)[:, None])[:, None, :]
+                 * dmask[..., None]
+                 ).reshape(-1, PACK_LANES), drow, num_segments=rows_i)
+            return up + step * uerr, ip + step * ierr, sq
+
+        up, ip, sq = jax.lax.fori_loop(
+            0, batches, body,
+            (pack(ulv, rows_u), pack(ilv, rows_i), jnp.float32(0)))
+        up = up - step * lam * up
+        ip = ip - step * lam * ip
+        return (up.reshape(rows_u * vpr, kp)[:m_, :k_],
+                ip.reshape(rows_i * vpr, kp)[:n_, :k_],
+                jnp.sqrt(sq / nnz))
+
+    return (epoch_packed if packed else epoch_unpacked), data
 
 
 DEFAULT_SEGMENT_EPOCHS = 4   # ~40 s/program at the measured RMAT-20
@@ -141,7 +219,8 @@ def sgd_solver(g, lam: float = DEFAULT_LAMBDA, step: float = DEFAULT_STEP,
                max_iters: int = DEFAULT_MAX_ITERS,
                epsilon: float = DEFAULT_EPSILON, seed: int = 0,
                batches: int = None,
-               segment_epochs: int = DEFAULT_SEGMENT_EPOCHS) -> SGDResult:
+               segment_epochs: int = DEFAULT_SEGMENT_EPOCHS,
+               packed: bool = None) -> SGDResult:
     """Reference entry SGDSolver(m, n, nnz, row_offsets, column_indices,
     rating, user_lv, item_lv, ordering) (src/sgd/sgd.h:31).  g is the
     bipartite rating graph: rows = users, colidx = items (g.n items),
@@ -164,7 +243,8 @@ def sgd_solver(g, lam: float = DEFAULT_LAMBDA, step: float = DEFAULT_STEP,
             .astype(np.float32))
         if batches:
             sgd_step, data = make_sgd_epoch(src, dst, ratings, lam,
-                                            step, m, n, batches)
+                                            step, m, n, batches,
+                                            packed=packed)
         else:
             sgd_step, data = make_sgd_step(src, dst, ratings, lam,
                                            step, m, n)
@@ -172,7 +252,7 @@ def sgd_solver(g, lam: float = DEFAULT_LAMBDA, step: float = DEFAULT_STEP,
                           segment_epochs)
 
     run = g._dev(("sgd_run", lam, step, max_iters, epsilon, batches,
-                  segment_epochs), build)
+                  segment_epochs, packed), build)
     return run(jnp.asarray(init_latent(m, seed)),
                jnp.asarray(init_latent(n, seed + 1)))
 

@@ -103,6 +103,25 @@ def test_tc_rotate_multi_slice(monkeypatch):
     assert tcmod.tc_rotate(g, chunk=256) == expect
 
 
+def test_sgd_packed_epoch_matches_unpacked():
+    """The 4-vertices-per-128-lane-row packed epoch (TPU row-gather
+    fast path) computes the same factors/RMSE as the unpacked epoch —
+    the K=20->32 pad lanes stay identically zero."""
+    g = random_graph(m=150, avg_deg=8, seed=11, weighted=True)
+    ref = sgd_solver(g, step=0.1, max_iters=4, epsilon=0.0, batches=4,
+                     packed=False)
+    got = sgd_solver(g, step=0.1, max_iters=4, epsilon=0.0, batches=4,
+                     packed=True)
+    np.testing.assert_allclose(np.asarray(got.rmse),
+                               np.asarray(ref.rmse), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.user_lv),
+                               np.asarray(ref.user_lv),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.item_lv),
+                               np.asarray(ref.item_lv),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_sgd_minibatch_converges():
     """Mini-batched epochs (reference accumulate-then-apply semantics,
     degree-normalized) reduce RMSE monotonically-ish on weighted data."""
