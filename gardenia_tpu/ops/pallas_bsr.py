@@ -28,8 +28,12 @@ operand dtype in VMEM, halving the HBM stream.
 
 Reference analog: src/pr/partition.cu:279-372 / include/segmenting.h
 (SM-cache-sized column blocking); here the panel row IS the MXU tile.
-The sparse remainder stays on the XLA rowsel path (Mosaic has no
-vectorized VMEM gather on this toolchain — see ops/pallas_spmv.py).
+The sparse remainder stays on the XLA rowsel path: two Mosaic
+limits measured on this toolchain rule out an in-kernel gather —
+tpu.DynamicGatherOp (jnp.take_along_axis inside kernels) fails to
+lower, and per-tile (1, W) edge blocks violate the (8, 128) minimum
+block-shape rule (the round-2 tiled-SpMV experiment that hit both
+was culled in round 3; the panel layout here is its successor).
 """
 
 from __future__ import annotations
