@@ -1,0 +1,247 @@
+"""Device-side wedge-stream sort-groupby — per-edge triangle counts and
+the codegree C4 sum from ONE sorted stream.
+
+Reference behavior: mining/motif_dfs/omp_formula.cc aggregates per-edge
+triangle counts and codegrees by enumerating wedges per vertex with
+thread-local hash maps.  The TPU re-design replaces hash maps with a
+sorted key stream: every co-neighbor pair (a, b), a < b, of every
+center v becomes one packed 32-bit key (a << 16 | b); equal keys form
+runs whose lengths ARE the codegrees.  Interleaving the edge list into
+the same stream (payload-tagged, sorted first within a run) yields
+tri(e) = |N(u) cap N(v)| for every edge as the run length after the
+edge entry — no per-slot binary-search membership sweep.
+
+Why sort: XLA's TPU sort runs at a measured 229-308 M keys/s on v5e —
+~380x this host's numpy (84 s for 64M keys) — so a 0.6-0.9 G-wedge
+stream (RMAT-16) sorts in seconds where the round-2 host multi-pass
+(motif.codegree_cycle_quads) and the chunked membership sweep
+(motif.edge_triangle_counts) take minutes.
+
+Enumeration is gather-free: each CSR row suffix N(v)[i+1:] is covered
+by width-32/128 SEGMENTS (contiguous colidx slices), fetched with
+vmapped dynamic_slice (row-speed contiguous reads, ~2-4 ns/row), never
+per-element gathers.  Measured padding overhead of the (32, 128) width
+classes at RMAT-16: 11%.
+
+Constraints: m <= 65536 (keys pack two 16-bit ids); callers fall back
+to the host path above that.  Duplicate-free symmetric CSR assumed
+(core/build dedups).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SEG_WIDTHS = (32, 128)
+WEDGE_PAYLOAD = 1 << 30          # payload tag for wedge + padding slots
+SENT_KEY = np.uint32(0xFFFFFFFF)  # padding key; valid keys are < a<<16|b
+                                  # with a <= m-2 < 2^16-1, so < SENT_KEY
+BLOCK = 8192                      # i32-safe partial-sum block length
+MAX_KEY_VERTS = 1 << 16
+
+
+class _Partition(NamedTuple):
+    segs: Tuple                   # per width: (starts, lens, a) i32 arrays
+    ua: np.ndarray                # undirected edge endpoints (a < b)
+    ub: np.ndarray
+    eid: np.ndarray               # global undirected edge ids
+    n_slots: int                  # padded stream length (pow2-snapped)
+
+
+def _host_partitions(g, budget_slots: int):
+    """Split the wedge stream into a-keyed partitions of <= budget
+    padded slots; runs never cross partitions because keys group by a
+    first."""
+    rp = np.asarray(g.rowptr, np.int64)
+    ci = np.asarray(g.colidx, np.int64)
+    m, nnz = g.m, g.nnz
+    deg = np.diff(rp)
+    srcs = np.repeat(np.arange(m, dtype=np.int64), deg)
+    i_in = np.arange(nnz, dtype=np.int64) - rp[srcs]
+    wpe = deg[srcs] - 1 - i_in
+    sel = wpe > 0
+    a_all = ci[sel]               # the wedge's smaller endpoint
+    pos0 = (rp[srcs] + i_in + 1)[sel]
+    wpe = wpe[sel]
+
+    # segment cover: full 128s + one remainder segment per edge slot
+    w_small = SEG_WIDTHS[0]
+    nfull = wpe // 128
+    rem = wpe - nfull * 128
+    f_sel = nfull > 0
+    f_rep = np.repeat(np.flatnonzero(f_sel), nfull[f_sel])
+    f_t = (np.arange(len(f_rep), dtype=np.int64)
+           - np.repeat((np.cumsum(nfull[f_sel]) - nfull[f_sel]),
+                       nfull[f_sel]))
+    r_sel = rem > 0
+    seg_start = [pos0[f_rep] + 128 * f_t, pos0[r_sel] + 128 * nfull[r_sel]]
+    seg_len = [np.full(len(f_rep), 128, np.int64), rem[r_sel]]
+    seg_a = [a_all[f_rep], a_all[r_sel]]
+    start = np.concatenate(seg_start)
+    length = np.concatenate(seg_len)
+    aa = np.concatenate(seg_a)
+    width = np.where(length <= w_small, w_small, 128)
+
+    # undirected edges (a < b): one slot per edge in the symmetric CSR
+    e_sel = srcs < ci
+    ua = srcs[e_sel].astype(np.int32)
+    ub = ci[e_sel].astype(np.int32)
+    eid = np.arange(len(ua), dtype=np.int32)
+
+    # partition cut points on a-value so padded totals fit the budget
+    slots_per_a = np.zeros(m + 1, np.int64)
+    np.add.at(slots_per_a, aa, width)
+    np.add.at(slots_per_a, ua.astype(np.int64), 1)
+    cum = np.cumsum(slots_per_a)
+    parts = []
+    alo = 0
+    base = 0
+    while alo <= m:
+        ahi = int(np.searchsorted(cum, base + budget_slots, side="right"))
+        ahi = max(ahi, alo + 1)
+        ssel = (aa >= alo) & (aa < ahi)
+        esel = (ua >= alo) & (ua < ahi)
+        segs = []
+        for w in SEG_WIDTHS:
+            wsel = ssel & (width == w)
+            segs.append((start[wsel].astype(np.int32),
+                         length[wsel].astype(np.int32),
+                         aa[wsel].astype(np.int32)))
+        n_slots = int(sum(len(s[0]) * w for s, w in zip(segs, SEG_WIDTHS))
+                      + esel.sum())
+        parts.append(_Partition(tuple(segs), ua[esel], ub[esel],
+                                eid[esel], n_slots))
+        base = cum[ahi - 1]
+        alo = ahi
+        if ahi > m or base >= cum[-1]:
+            break
+    return [p for p in parts if p.n_slots], len(ua)
+
+
+def _pad_pow2(x: np.ndarray, fill) -> jnp.ndarray:
+    n = max(1, len(x))
+    p = 1 << (n - 1).bit_length()
+    return jnp.asarray(np.concatenate(
+        [x, np.full(p - len(x), fill, x.dtype if len(x) else np.int32)]))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_gen(width: int):
+    @jax.jit
+    def gen(colidx_pad, starts, lens, a):
+        b = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(colidx_pad, (s,), (width,))
+        )(starts)                                   # (nseg, width) i32
+        k = jnp.arange(width, dtype=jnp.int32)[None, :]
+        key = (a[:, None].astype(jnp.uint32) << 16) | b.astype(jnp.uint32)
+        key = jnp.where(k < lens[:, None], key, SENT_KEY)
+        return key.reshape(-1)
+    return gen
+
+
+@functools.lru_cache(maxsize=None)
+def _make_analyze(n_blocks: int):
+    @jax.jit
+    def analyze(ks, ps, tri):
+        n = ks.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        prev_diff = jnp.concatenate(
+            [jnp.ones(1, bool), ks[1:] != ks[:-1]])
+        is_edge = ps < WEDGE_PAYLOAD
+        packed = jnp.where(prev_diff,
+                           idx * 2 + is_edge.astype(jnp.int32),
+                           -1)
+        sp = jax.lax.cummax(packed)
+        start = sp >> 1
+        efirst = sp & 1
+        live = (~is_edge) & (ks != SENT_KEY)
+        contrib = jnp.where(live, idx - start - efirst, 0)
+        partials = contrib.reshape(n_blocks, -1).sum(
+            axis=1, dtype=jnp.int32)
+        # run end per element (nearest end-flag to the right)
+        nb = jnp.concatenate([ks[1:] != ks[:-1], jnp.ones(1, bool)])
+        rend = jnp.flip(jax.lax.cummin(
+            jnp.flip(jnp.where(nb, idx, n))))
+        tri_val = rend - idx
+        tgt = jnp.where(is_edge, ps, tri.shape[0] - 1)
+        tri = tri.at[tgt].set(jnp.where(is_edge, tri_val, 0),
+                              mode="drop")
+        return partials, tri
+    return analyze
+
+
+def wedge_stream_stats(g, budget_slots: int = 1 << 28):
+    """Returns (c_non, tri_u, ua, ub): the 4-cycle codegree sum
+    sum_{a<b} C(codeg(a,b), 2) // 2 and per-undirected-edge triangle
+    counts (with endpoint arrays), all computed device-side."""
+    if g.m > MAX_KEY_VERTS:
+        raise ValueError("wedge_stream_stats needs m <= 65536 "
+                         "(packed 32-bit keys)")
+    # idx*2 in the analyze scan must stay int32
+    assert budget_slots <= 1 << 29, "budget_slots > 2^29 breaks i32 idx"
+    parts, n_u = g._dev(("wedgestream_parts", budget_slots),
+                        lambda: _host_partitions(g, budget_slots))
+    colidx_pad = g._dev(("colidx_pad128",), lambda: jnp.asarray(
+        np.concatenate([np.asarray(g.colidx, np.int32),
+                        np.zeros(128, np.int32)])))
+    gens = {w: _make_gen(w) for w in SEG_WIDTHS}
+    tri = jnp.zeros(n_u + 1, jnp.int32)
+    total_pairs = 0
+    for p in parts:
+        chunks = []
+        pay = []
+        for (st, ln, av), w in zip(p.segs, SEG_WIDTHS):
+            if not len(st):
+                continue
+            kk = gens[w](colidx_pad, _pad_pow2(st, 0),
+                         _pad_pow2(ln, 0), _pad_pow2(av, 0))
+            chunks.append(kk)
+            pay.append(jnp.full(kk.shape, WEDGE_PAYLOAD, jnp.int32))
+        if len(p.ua):
+            ek = ((jnp.asarray(p.ua).astype(jnp.uint32) << 16)
+                  | jnp.asarray(p.ub).astype(jnp.uint32))
+            chunks.append(ek)
+            pay.append(jnp.asarray(p.eid))
+        if not chunks:
+            continue
+        keys = jnp.concatenate(chunks)
+        payload = jnp.concatenate(pay)
+        # pow2-snap the stream so partitions share compiled shapes
+        n = keys.shape[0]
+        padn = max(BLOCK, 1 << (n - 1).bit_length())
+        keys = jnp.concatenate(
+            [keys, jnp.full(padn - n, SENT_KEY, jnp.uint32)])
+        payload = jnp.concatenate(
+            [payload, jnp.full(padn - n, WEDGE_PAYLOAD, jnp.int32)])
+        ks, ps = jax.lax.sort((keys, payload), num_keys=2)
+        analyze = _make_analyze(padn // BLOCK)
+        partials, tri = analyze(ks, ps, tri)
+        total_pairs += int(np.asarray(partials).astype(np.int64).sum())
+    tri_u = np.asarray(tri)[:n_u]
+    # every unordered co-neighbor pair is one run: sum C(codeg, 2),
+    # halved per the cycle-quad double count (motif.py:17)
+    return total_pairs // 2, tri_u, None, None
+
+
+def motif4_aggregates(g, budget_slots: int = 1 << 28):
+    """(c_non, d_non, tt_non helper tri_v, tri_undirected) for the
+    4-census formula — one device stream instead of the host sort +
+    membership sweep."""
+    c_non, tri_u, _, _ = wedge_stream_stats(g, budget_slots)
+    rp = np.asarray(g.rowptr, np.int64)
+    ci = np.asarray(g.colidx, np.int64)
+    srcs = np.repeat(np.arange(g.m, dtype=np.int64), np.diff(rp))
+    e_sel = srcs < ci
+    ua, ub = srcs[e_sel], ci[e_sel]
+    t = tri_u.astype(np.int64)
+    d_non = int((t * (t - 1) // 2).sum())
+    tri_v = np.zeros(g.m, np.int64)
+    np.add.at(tri_v, ua, t)
+    np.add.at(tri_v, ub, t)
+    tri_v //= 2
+    return c_non, d_non, tri_v, tri_u

@@ -136,3 +136,49 @@ def test_codegree_quads_multipass():
     ref = codegree_cycle_quads(g)
     assert codegree_cycle_quads(g, pass_budget=64) == ref
     assert codegree_cycle_quads(g, pass_budget=7) == ref
+
+
+def test_wedgestream_vs_host_oracles():
+    """Device wedge-stream sort-groupby (mining/wedgestream.py) matches
+    the host membership sweep (tri per edge) and the host multi-pass
+    codegree sort (C4 quads) on a non-trivial graph."""
+    from gardenia_tpu.mining.motif import (codegree_cycle_quads,
+                                           edge_triangle_counts)
+    from gardenia_tpu.mining.wedgestream import wedge_stream_stats
+    g = random_graph(m=300, avg_deg=12, seed=11, symmetric=True)
+    c_non, tri_u, _, _ = wedge_stream_stats(g)
+    assert c_non == codegree_cycle_quads(g)
+    tri_e = edge_triangle_counts(g)
+    src = np.repeat(np.arange(g.m), np.diff(g.rowptr))
+    dst = np.asarray(g.colidx)
+    sel = src < dst
+    np.testing.assert_array_equal(tri_u, tri_e[sel])
+
+
+def test_wedgestream_multi_partition():
+    """a-keyed partitioning is exact for any slot budget (runs never
+    cross partitions)."""
+    from gardenia_tpu.mining.wedgestream import wedge_stream_stats
+    g = random_graph(m=120, avg_deg=10, seed=13, symmetric=True)
+    ref = wedge_stream_stats(g)
+    for budget in (1 << 14, 1 << 12):
+        got = wedge_stream_stats(g, budget_slots=budget)
+        assert got[0] == ref[0]
+        np.testing.assert_array_equal(got[1], ref[1])
+
+
+def test_wedgestream_triangle_free_and_empty():
+    from gardenia_tpu.mining.wedgestream import wedge_stream_stats
+    # star graph: no triangles, codegree of every leaf pair is 1
+    import gardenia_tpu.core.build as build
+    from gardenia_tpu.core.graph import Graph
+    n = 12
+    src = np.concatenate([np.zeros(n - 1, np.int64),
+                          np.arange(1, n, dtype=np.int64)])
+    dst = np.concatenate([np.arange(1, n, dtype=np.int64),
+                          np.zeros(n - 1, np.int64)])
+    rp, ci, _ = build.coo_to_csr(n, src, dst, None, sorted_by_src=False)
+    g = Graph(rp, ci, None, num_cols=n, symmetric=True)
+    c_non, tri_u, _, _ = wedge_stream_stats(g)
+    assert c_non == 0          # all codegrees 1 -> no C(1,2) pairs
+    assert tri_u.sum() == 0
