@@ -259,6 +259,92 @@ def _make_rot_run(W: int, chunk: int, use_pallas: bool):
     return run
 
 
+# width classes at or above this ride the bitonic merge kernel: the
+# merge costs ~15 fixed shuffle stages per pair regardless of W, the
+# rotation kernel W rotations — crossover sits between W=32 and 64
+MERGE_MIN_W = 64
+
+
+def _bitonic_intersect(a, b_rev, roll, lane):
+    """|set(a) cap set(b)| per row via one bitonic merge of the 256-lane
+    concatenation — the TPU take on the reference's merge-path warp
+    intersection (include/operations.cuh:142-343): 7 fixed-stride
+    compare-exchange stages replace data-dependent merge pointers.
+
+    a: (T, 128) ascending rows, -1 pads trailing.  b_rev: (T, 128)
+    DESCENDING rows (gathered from a lane-reversed chunk table), -1 pads
+    leading.  Pads are remapped to unique out-of-range keys so they can
+    never create equal-adjacent pairs.  roll(x, s)[i] = x[(i-s) mod 128].
+    """
+    big = jnp.int32(1 << 28)
+    a = jnp.where(a < 0, big + lane, a)
+    b = jnp.where(b_rev < 0, big + jnp.int32(1 << 20) - lane, b_rev)
+    # cross stage of merging [a, rev(b)]: position i pairs with i+128
+    mn = jnp.minimum(a, b)
+    mx = jnp.maximum(a, b)
+    for s in (64, 32, 16, 8, 4, 2, 1):
+        keep_lo = (lane & s) == 0
+        mn = jnp.where(keep_lo, jnp.minimum(mn, roll(mn, 128 - s)),
+                       jnp.maximum(mn, roll(mn, s)))
+        mx = jnp.where(keep_lo, jnp.minimum(mx, roll(mx, 128 - s)),
+                       jnp.maximum(mx, roll(mx, s)))
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
+    eq = jnp.where((mn == roll(mn, 1)) & (lane > 0), one, zero)
+    eq = eq + jnp.where((mx == roll(mx, 1)) & (lane > 0), one, zero)
+    # sorted-sequence boundary: mn[127] (roll(mn,1) at lane 0) vs mx[0]
+    eq = eq + jnp.where((mx == roll(mn, 1)) & (lane == 0), one, zero)
+    return eq
+
+
+def _merge_count_pallas(A, Brev, interpret: bool = False):
+    """VMEM-resident bitonic-merge intersection counts per row."""
+    from jax.experimental import pallas as pl
+
+    P = A.shape[0]
+    Tt = min(1024, P)
+    nsub = P // Tt
+
+    def kernel(a_ref, b_ref, y_ref):
+        from jax.experimental.pallas import tpu as pltpu
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Tt, LANES), 1)
+        eq = _bitonic_intersect(
+            a_ref[...], b_ref[...],
+            lambda x, s: pltpu.roll(x, shift=s, axis=1), lane)
+        y_ref[...] = eq.reshape(8, Tt // 8, LANES).sum(axis=1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nsub,),
+        in_specs=[pl.BlockSpec((Tt, LANES), lambda i: (i, 0)),
+                  pl.BlockSpec((Tt, LANES), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((8, LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nsub * 8, LANES), jnp.int32),
+        interpret=interpret,
+    )(A, Brev)
+
+
+def _make_merge_run(chunk: int, use_pallas: bool):
+    @jax.jit
+    def run(table, table_rev, cu_d, cv_d, n_real):
+        def body(c, partials):
+            A = table[cu_d[c]]                          # (chunk, 128)
+            Brev = table_rev[cv_d[c]]
+            if use_pallas:
+                part = jnp.sum(_merge_count_pallas(A, Brev))
+            else:
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, A.shape, 1)
+                part = jnp.sum(_bitonic_intersect(
+                    A, Brev,
+                    lambda x, s: jnp.roll(x, s, axis=1), lane))
+            return partials.at[c].set(part)
+
+        return jax.lax.fori_loop(
+            0, n_real, body, jnp.zeros((cu_d.shape[0],), jnp.int32))
+    return run
+
+
 def _make_bm_run(bchunk: int):
     @jax.jit
     def run(bmp, hu_d, hv_d, n_real):
@@ -331,10 +417,21 @@ def tc_rotate(g, *, chunk: int = 1 << 13, presorted_dag: bool = False,
             total += int(np.asarray(out).astype(np.int64).sum())
 
     table = dag._dev(("tc_rot3_table",), lambda: jnp.asarray(th_h))
+    merge_ws = [W for W in streams if W >= MERGE_MIN_W]
+    if merge_ws:
+        table_rev = dag._dev(
+            ("tc_merge_tablerev",),
+            lambda: jnp.asarray(np.ascontiguousarray(th_h[:, ::-1])))
     for W in sorted(streams):
         cu, cv = streams[W]
-        run = dag._dev(("tc_rot3_run", W, chunk, use_pallas),
-                       lambda W=W: _make_rot_run(W, chunk, use_pallas))
+        merge = W >= MERGE_MIN_W
+        if merge:
+            run = dag._dev(("tc_merge_run", chunk, use_pallas),
+                           lambda: _make_merge_run(chunk, use_pallas))
+        else:
+            run = dag._dev(("tc_rot3_run", W, chunk, use_pallas),
+                           lambda W=W: _make_rot_run(W, chunk,
+                                                     use_pallas))
         for lo in range(0, len(cu), PAIR_SLICE_LIMIT):
             sl = slice(lo, lo + PAIR_SLICE_LIMIT)
             if lo == 0 and len(cu) <= PAIR_SLICE_LIMIT:
@@ -345,7 +442,11 @@ def tc_rotate(g, *, chunk: int = 1 << 13, presorted_dag: bool = False,
             else:
                 cu_d, cv_d, n_steps = _pack_stream(cu[sl], cv[sl],
                                                    chunk, sent, 0)
-            out = run(table, cu_d, cv_d, jnp.int32(n_steps))
+            if merge:
+                out = run(table, table_rev, cu_d, cv_d,
+                          jnp.int32(n_steps))
+            else:
+                out = run(table, cu_d, cv_d, jnp.int32(n_steps))
             total += int(np.asarray(out).astype(np.int64).sum())
     return total
 

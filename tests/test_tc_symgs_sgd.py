@@ -130,3 +130,78 @@ def test_sgd_minibatch_converges():
     rmse = np.asarray(res.rmse)[:6]
     assert np.isfinite(rmse).all()
     assert rmse[-1] < rmse[0] * 0.8
+
+
+def test_bitonic_merge_intersect_oracle():
+    """The bitonic-merge kernel's per-row count equals the numpy set
+    intersection, across fill combinations including empty rows."""
+    import jax
+    import jax.numpy as jnp
+
+    import gardenia_tpu.solvers.tc as tcmod
+    rng = np.random.default_rng(3)
+    rows_a, rows_b, expect = [], [], []
+    for fa, fb in [(0, 0), (0, 128), (128, 128), (1, 1), (7, 100),
+                   (64, 64), (128, 1), (100, 100), (33, 97)]:
+        a = np.sort(rng.choice(4000, fa, replace=False)) if fa else \
+            np.zeros(0, np.int64)
+        # force overlaps
+        b = np.sort(np.unique(np.concatenate(
+            [rng.choice(4000, max(fb - fb // 2, 0), replace=False),
+             rng.choice(a, min(fb // 2, len(a)), replace=False) if fa
+             else np.zeros(0, np.int64)])))[:fb]
+        ra = np.full(128, -1, np.int32)
+        rb = np.full(128, -1, np.int32)
+        ra[:len(a)] = a
+        rb[:len(b)] = b
+        rows_a.append(ra)
+        rows_b.append(rb)
+        expect.append(len(np.intersect1d(a, b)))
+    A = jnp.asarray(np.stack(rows_a))
+    Brev = jnp.asarray(np.stack(rows_b)[:, ::-1].copy())
+    lane = jax.lax.broadcasted_iota(jnp.int32, A.shape, 1)
+    eq = tcmod._bitonic_intersect(
+        A, Brev, lambda x, s: jnp.roll(x, s, axis=1), lane)
+    np.testing.assert_array_equal(np.asarray(eq.sum(axis=1)), expect)
+
+
+def test_tc_merge_class_routing(monkeypatch):
+    """Routing every width class through the merge kernel (XLA path)
+    keeps counts exact on a hub-heavy graph."""
+    import gardenia_tpu.solvers.tc as tcmod
+    g = random_graph(m=400, avg_deg=30, seed=6, symmetric=True)
+    expect = tcmod.tc_rotate(g)
+    monkeypatch.setattr(tcmod, "MERGE_MIN_W", 8)
+    assert tcmod.tc_rotate(random_graph(m=400, avg_deg=30, seed=6,
+                                        symmetric=True)) == expect
+
+
+def test_tc_merge_pallas_interpret():
+    """Pallas merge kernel (interpret mode) matches the XLA formulation."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    import gardenia_tpu.solvers.tc as tcmod
+    rng = np.random.default_rng(9)
+    P = 16
+    A = np.sort(rng.integers(0, 3000, (P, 128)).astype(np.int32), axis=1)
+    B = np.sort(np.where(rng.random((P, 128)) < 0.4, A,
+                         rng.integers(0, 3000, (P, 128)).astype(np.int32)),
+                axis=1)
+    # dedup within rows (intersection semantics need distinct elements)
+    for r in range(P):
+        ua = np.unique(A[r])
+        ub = np.unique(B[r])
+        A[r] = -1
+        B[r] = -1
+        A[r, :len(ua)] = ua
+        B[r, :len(ub)] = ub
+    Brev = jnp.asarray(B[:, ::-1].copy())
+    Ad = jnp.asarray(A)
+    lane = jax.lax.broadcasted_iota(jnp.int32, Ad.shape, 1)
+    ref = tcmod._bitonic_intersect(
+        Ad, Brev, lambda x, s: jnp.roll(x, s, axis=1), lane).sum()
+    with pltpu.force_tpu_interpret_mode():
+        got = tcmod._merge_count_pallas(Ad, Brev, interpret=True).sum()
+    assert int(got) == int(ref)
