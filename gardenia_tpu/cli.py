@@ -260,6 +260,12 @@ def run_kcl(args, variant="base"):
     print(f"total_num_cliques = {total}")
     if g.m <= 5000:
         check(total == kcl_verifier(g, k))
+    elif k == 3:
+        # at-scale cross-check against the independent TC implementation
+        # (bitmap + merge/rotation intersection vs kcl's chunked
+        # membership expansion)
+        from gardenia_tpu.solvers.tc import tc_solver
+        check(total == tc_solver(g))
     else:
         print("(verification skipped: graph too large for serial oracle)")
 

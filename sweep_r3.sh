@@ -8,7 +8,7 @@ for k in pr spmv bfs msbfs cc tc bc sgd sssp; do
   timeout 2400 python -u bench.py --kernel $k --scale 20 | tail -1 >> $OUT
 done
 timeout 2400 python -u bench.py --kernel kcl --scale 16 | tail -1 >> $OUT
-# motif-4 at scale 14: the 4-census' C4 multipass grows superlinearly;
-# scale 16 exceeds the practical single-row budget this round
-timeout 2400 python -u bench.py --kernel motif --scale 14 | tail -1 >> $OUT
+# motif-4 at scale 16: the device wedge-stream sort-groupby engine
+# (mining/wedgestream.py) made the 0.62 G-wedge C4 census practical
+timeout 2400 python -u bench.py --kernel motif --scale 16 | tail -1 >> $OUT
 cat $OUT
