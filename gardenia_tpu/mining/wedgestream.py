@@ -130,32 +130,54 @@ def _pad_pow2(x: np.ndarray, fill) -> jnp.ndarray:
         [x, np.full(p - len(x), fill, x.dtype if len(x) else np.int32)]))
 
 
-@functools.lru_cache(maxsize=None)
-def _make_gen(width: int):
-    @jax.jit
-    def gen(colidx_pad, starts, lens, a):
-        b = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(colidx_pad, (s,), (width,))
-        )(starts)                                   # (nseg, width) i32
-        k = jnp.arange(width, dtype=jnp.int32)[None, :]
-        key = (a[:, None].astype(jnp.uint32) << 16) | b.astype(jnp.uint32)
-        key = jnp.where(k < lens[:, None], key, SENT_KEY)
-        return key.reshape(-1)
-    return gen
+def _gen_keys(colidx_pad, starts, lens, a, width: int):
+    b = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(colidx_pad, (s,), (width,))
+    )(starts)                                   # (nseg, width) i32
+    k = jnp.arange(width, dtype=jnp.int32)[None, :]
+    key = (a[:, None].astype(jnp.uint32) << 16) | b.astype(jnp.uint32)
+    key = jnp.where(k < lens[:, None], key, SENT_KEY)
+    return key.reshape(-1)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_analyze(n_blocks: int):
+def _make_pipeline(padn: int, n_e: int, *seg_ns: int):
+    """One fused generate->sort->analyze program per shape signature:
+    keeping it a single XLA program lets the compiler free the key
+    stream's intermediates (separate jit calls at 2^28 slots held
+    enough live 1 GB buffers to OOM the 16 GB HBM)."""
+    n_blocks = padn // BLOCK
+
     @jax.jit
-    def analyze(ks, ps, tri):
-        n = ks.shape[0]
-        idx = jnp.arange(n, dtype=jnp.int32)
-        prev_diff = jnp.concatenate(
-            [jnp.ones(1, bool), ks[1:] != ks[:-1]])
+    def pipe(colidx_pad, tri, ua, ub, eid, *segs):
+        chunks = []
+        pay = []
+        for (st, ln, av), w in zip(zip(segs[0::3], segs[1::3],
+                                       segs[2::3]), SEG_WIDTHS):
+            if st.shape[0] == 0:
+                continue
+            kk = _gen_keys(colidx_pad, st, ln, av, w)
+            chunks.append(kk)
+            pay.append(jnp.full(kk.shape, WEDGE_PAYLOAD, jnp.int32))
+        if n_e:
+            chunks.append((ua.astype(jnp.uint32) << 16)
+                          | ub.astype(jnp.uint32))
+            pay.append(eid)
+        keys = jnp.concatenate(chunks)
+        payload = jnp.concatenate(pay)
+        n = keys.shape[0]
+        keys = jnp.concatenate(
+            [keys, jnp.full(padn - n, SENT_KEY, jnp.uint32)])
+        payload = jnp.concatenate(
+            [payload, jnp.full(padn - n, WEDGE_PAYLOAD, jnp.int32)])
+        ks, ps = jax.lax.sort((keys, payload), num_keys=2)
+
+        idx = jnp.arange(padn, dtype=jnp.int32)
+        diff = ks[1:] != ks[:-1]
+        prev_diff = jnp.concatenate([jnp.ones(1, bool), diff])
         is_edge = ps < WEDGE_PAYLOAD
         packed = jnp.where(prev_diff,
-                           idx * 2 + is_edge.astype(jnp.int32),
-                           -1)
+                           idx * 2 + is_edge.astype(jnp.int32), -1)
         sp = jax.lax.cummax(packed)
         start = sp >> 1
         efirst = sp & 1
@@ -164,18 +186,18 @@ def _make_analyze(n_blocks: int):
         partials = contrib.reshape(n_blocks, -1).sum(
             axis=1, dtype=jnp.int32)
         # run end per element (nearest end-flag to the right)
-        nb = jnp.concatenate([ks[1:] != ks[:-1], jnp.ones(1, bool)])
+        nb = jnp.concatenate([diff, jnp.ones(1, bool)])
         rend = jnp.flip(jax.lax.cummin(
-            jnp.flip(jnp.where(nb, idx, n))))
+            jnp.flip(jnp.where(nb, idx, padn))))
         tri_val = rend - idx
         tgt = jnp.where(is_edge, ps, tri.shape[0] - 1)
         tri = tri.at[tgt].set(jnp.where(is_edge, tri_val, 0),
                               mode="drop")
         return partials, tri
-    return analyze
+    return pipe
 
 
-def wedge_stream_stats(g, budget_slots: int = 1 << 28):
+def wedge_stream_stats(g, budget_slots: int = 1 << 27):
     """Returns (c_non, tri_u, ua, ub): the 4-cycle codegree sum
     sum_{a<b} C(codeg(a,b), 2) // 2 and per-undirected-edge triangle
     counts (with endpoint arrays), all computed device-side."""
@@ -189,38 +211,43 @@ def wedge_stream_stats(g, budget_slots: int = 1 << 28):
     colidx_pad = g._dev(("colidx_pad128",), lambda: jnp.asarray(
         np.concatenate([np.asarray(g.colidx, np.int32),
                         np.zeros(128, np.int32)])))
-    gens = {w: _make_gen(w) for w in SEG_WIDTHS}
     tri = jnp.zeros(n_u + 1, jnp.int32)
     total_pairs = 0
+    if not parts:
+        return 0, np.zeros(n_u, np.int32), None, None
+
+    # ONE shape signature for every partition (pad each component to
+    # the max over partitions): the axon remote compiler takes minutes
+    # per signature and its cache does not persist, so per-partition
+    # shapes made the compile bill dominate the solve
+    def padlen(n):
+        return 1 << (max(n, 1) - 1).bit_length()
+
+    seg_caps = [max((padlen(len(p.segs[i][0])) if len(p.segs[i][0])
+                     else 0) for p in parts) for i in range(len(SEG_WIDTHS))]
+    e_cap = max(padlen(len(p.ua)) if len(p.ua) else 0 for p in parts)
+    raw = sum(c * w for c, w in zip(seg_caps, SEG_WIDTHS)) + e_cap
+    if raw == 0:
+        return 0, np.zeros(n_u, np.int32), None, None
+    padn = max(BLOCK, 1 << (raw - 1).bit_length())
+    pipe = _make_pipeline(padn, e_cap, *seg_caps)
+
+    def pad_to(x, cap, fill):
+        return jnp.asarray(np.concatenate(
+            [np.asarray(x, np.int32),
+             np.full(cap - len(x), fill, np.int32)]))
+
     for p in parts:
-        chunks = []
-        pay = []
-        for (st, ln, av), w in zip(p.segs, SEG_WIDTHS):
-            if not len(st):
-                continue
-            kk = gens[w](colidx_pad, _pad_pow2(st, 0),
-                         _pad_pow2(ln, 0), _pad_pow2(av, 0))
-            chunks.append(kk)
-            pay.append(jnp.full(kk.shape, WEDGE_PAYLOAD, jnp.int32))
-        if len(p.ua):
-            ek = ((jnp.asarray(p.ua).astype(jnp.uint32) << 16)
-                  | jnp.asarray(p.ub).astype(jnp.uint32))
-            chunks.append(ek)
-            pay.append(jnp.asarray(p.eid))
-        if not chunks:
-            continue
-        keys = jnp.concatenate(chunks)
-        payload = jnp.concatenate(pay)
-        # pow2-snap the stream so partitions share compiled shapes
-        n = keys.shape[0]
-        padn = max(BLOCK, 1 << (n - 1).bit_length())
-        keys = jnp.concatenate(
-            [keys, jnp.full(padn - n, SENT_KEY, jnp.uint32)])
-        payload = jnp.concatenate(
-            [payload, jnp.full(padn - n, WEDGE_PAYLOAD, jnp.int32)])
-        ks, ps = jax.lax.sort((keys, payload), num_keys=2)
-        analyze = _make_analyze(padn // BLOCK)
-        partials, tri = analyze(ks, ps, tri)
+        seg_args = []
+        for (st, ln, av), cap in zip(p.segs, seg_caps):
+            seg_args += [pad_to(st, cap, 0), pad_to(ln, cap, 0),
+                         pad_to(av, cap, 0)]
+        # edge padding: a=65535, b=65535 packs to SENT_KEY exactly, and
+        # eid=n_u scatters the junk run into the discarded slot
+        pua = pad_to(p.ua, e_cap, 65535)
+        pub = pad_to(p.ub, e_cap, 65535)
+        peid = pad_to(p.eid, e_cap, n_u)
+        partials, tri = pipe(colidx_pad, tri, pua, pub, peid, *seg_args)
         total_pairs += int(np.asarray(partials).astype(np.int64).sum())
     tri_u = np.asarray(tri)[:n_u]
     # every unordered co-neighbor pair is one run: sum C(codeg, 2),
