@@ -261,8 +261,11 @@ def _make_rot_run(W: int, chunk: int, use_pallas: bool):
 
 # width classes at or above this ride the bitonic merge kernel: the
 # merge costs ~15 fixed shuffle stages per pair regardless of W, the
-# rotation kernel W rotations — crossover sits between W=32 and 64
-MERGE_MIN_W = 64
+# rotation kernel W rotations.  Measured crossover on v5e at RMAT-20:
+# W=32 81 vs 102 ms, W=64 218 vs 366, W=128 303 vs 760 (merge vs
+# rotation); W=8/16 tie — every class lands at a ~30 M pairs/s
+# gather+dispatch floor once compute stops binding
+MERGE_MIN_W = 32
 
 
 def _bitonic_intersect(a, b_rev, roll, lane):
