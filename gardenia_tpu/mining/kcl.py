@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gardenia_tpu.core import types as T
+
 # per-slice wedge budget: embedding frontiers whose total expansion
 # space exceeds this are processed in host-side embedding-range slices
 # so all device indices stay int32 (x64 is disabled; the previous
@@ -95,48 +97,62 @@ def _make_chunk_member(dag):
     return member, (table, cstart, nchunk)
 
 
-def _make_last_level_rotate(dag, n_members: int):
+def _make_last_level_rotate(dag, n_members: int, window: int = 1 << 12):
     """Final-level clique counting by lane rotation — the kCL analog of
     tc_rotate: per embedding (v1..v_l), count
     |N+(v1) ∩ N+(v2) ∩ ... ∩ N+(v_l)| by gathering each member's
     128-wide chunk rows ONCE per embedding and AND-ing rotation
     -membership masks, instead of one chunk-row gather per (wedge,
     member) probe (measured ~40 s / 134M wedges on RMAT-16 with the
-    probe scheme; rotations are full-width VPU compares)."""
+    probe scheme; rotations are full-width VPU compares).
+
+    The windows loop DEVICE-SIDE: one jit call covers the whole
+    embedding slice — round 3 found the old one-call-per-4096-embeddings
+    form spending 90 of kcl-4's 235 s at RMAT-16 on ~3800 tunnel round
+    trips (23.5 ms each), not on compute."""
     _, _, _, max_chunks, sent = _chunk_member_data(dag)
 
     @jax.jit
-    def step(members, nvalid, mem_ctx):
-        # members: (n_members, C) embedding columns, padded past nvalid
+    def run(members, nvalid, mem_ctx):
+        # members: (n_members, Npad), Npad a multiple of window; padded
+        # columns past nvalid are excluded by col_ok
         from gardenia_tpu.ops import rowsel
         table, cstart, nchunk = mem_ctx
-        C = members.shape[1]
-        v1 = members[0]
-        base1 = rowsel.take(cstart, v1)
-        nc1 = rowsel.take(nchunk, v1)
-        col_ok = (jnp.arange(C, dtype=jnp.int32) < nvalid)
-        total = jnp.int32(0)
-        for c1 in range(max_chunks):
-            A = table[jnp.where(c1 < nc1, base1 + c1, sent)]  # (C,128)
-            ok = (A != -1) & col_ok[:, None]
-            for i in range(1, n_members):
-                vi = members[i]
-                basei = rowsel.take(cstart, vi)
-                nci = rowsel.take(nchunk, vi)
-                memb = jnp.zeros(A.shape, bool)
-                for ci in range(max_chunks):
-                    B = table[jnp.where(ci < nci, basei + ci, sent)]
-                    B = jnp.where(B == -1, -2, B)
+        n_w = members.shape[1] // window
 
-                    def rot(s, mb):
-                        return mb | (A == jnp.roll(B, s, axis=1))
+        def win(w, partials):
+            msl = jax.lax.dynamic_slice(
+                members, (0, w * window), (n_members, window))
+            col_ok = (w * window
+                      + jnp.arange(window, dtype=jnp.int32)) < nvalid
+            v1 = msl[0]
+            base1 = rowsel.take(cstart, v1)
+            nc1 = rowsel.take(nchunk, v1)
+            total = jnp.int32(0)
+            for c1 in range(max_chunks):
+                A = table[jnp.where(c1 < nc1, base1 + c1, sent)]
+                ok = (A != -1) & col_ok[:, None]
+                for i in range(1, n_members):
+                    vi = msl[i]
+                    basei = rowsel.take(cstart, vi)
+                    nci = rowsel.take(nchunk, vi)
+                    memb = jnp.zeros(A.shape, bool)
+                    for ci in range(max_chunks):
+                        B = table[jnp.where(ci < nci, basei + ci, sent)]
+                        B = jnp.where(B == -1, -2, B)
 
-                    memb = jax.lax.fori_loop(0, 128, rot, memb)
-                ok = ok & memb
-            total = total + jnp.sum(ok.astype(jnp.int32))
-        return total
+                        def rot(s, mb):
+                            return mb | (A == jnp.roll(B, s, axis=1))
 
-    return step
+                        memb = jax.lax.fori_loop(0, 128, rot, memb)
+                    ok = ok & memb
+                total = total + jnp.sum(ok.astype(jnp.int32))
+            return partials.at[w].set(total)
+
+        return jax.lax.fori_loop(0, n_w, win,
+                                 jnp.zeros((n_w,), jnp.int32))
+
+    return run
 
 
 def _expand_level(nnz, n_members, count_only, chunk, member_fn=None):
@@ -238,20 +254,27 @@ def kcl_solver(g, k: int, *, chunk: int = 1 << 18) -> int:
             return total
         if count_only and member_fn is not None:
             # final level: batch rotation intersection (one chunk-row
-            # gather per embedding member instead of per wedge probe)
-            last = dag._dev(("kcl_last_rot", level),
-                            lambda: _make_last_level_rotate(dag, level))
-            CH = 1 << 12
+            # gather per embedding member instead of per wedge probe);
+            # windows loop device-side, host slices bound HBM + the
+            # ~2-minute worker program limit
+            WIN = 1 << 12
+            last = dag._dev(("kcl_last_rot", level, WIN),
+                            lambda: _make_last_level_rotate(dag, level,
+                                                            WIN))
+            CH = 1 << 23
             N = members.shape[1]
             for lo in range(0, N, CH):
                 msl = members[:, lo:lo + CH]
                 n = msl.shape[1]
-                if n < CH:
+                # pow2-snap the window count: each distinct shape is a
+                # multi-minute axon recompile
+                npad = WIN * T.next_pow2(-(-n // WIN))
+                if n < npad:
                     msl = np.concatenate(
-                        [msl, np.zeros((level, CH - n), np.int32)],
+                        [msl, np.zeros((level, npad - n), np.int32)],
                         axis=1)
-                total += int(last(jnp.asarray(msl), jnp.int32(n),
-                                  mem_ctx))
+                out = last(jnp.asarray(msl), jnp.int32(n), mem_ctx)
+                total += int(np.asarray(out).astype(np.int64).sum())
             return total
         step = dag._dev(
             ("kcl_step", level, count_only, chunk),
