@@ -155,6 +155,87 @@ def _make_last_level_rotate(dag, n_members: int, window: int = 1 << 12):
     return run
 
 
+@partial(jax.jit, static_argnames=("S",))
+def _build_wedge_index(cum_d, S: int):
+    """Device wedge-slot index: e_all[j] = embedding of wedge slot j and
+    koff_all[j] = slot offset within its embedding, via boundary
+    scatter-max + cummax fills — replaces the per-window searchsorted
+    (24 gather passes over the embedding cumsum per window).
+
+    cum_d: (Ne,) int32 inclusive cumsum of wedges-per-embedding.  For a
+    group of embeddings sharing a start (zero-wedge runs) scatter-MAX
+    picks the largest id, which is exactly the one owning the slot."""
+    ne = cum_d.shape[0]
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), cum_d[:-1]])
+    ids = jnp.arange(ne, dtype=jnp.int32)
+    e_seed = jnp.zeros(S, jnp.int32).at[starts].max(ids + 1, mode="drop")
+    e_all = jax.lax.cummax(e_seed) - 1
+    b_seed = jnp.zeros(S, jnp.int32).at[starts].max(starts + 1,
+                                                    mode="drop")
+    base_all = jax.lax.cummax(b_seed) - 1
+    return e_all, jnp.arange(S, dtype=jnp.int32) - base_all
+
+
+def _make_expand_dev(nnz, n_members, chunk, wins_per_call, member_fn,
+                     fill: bool):
+    """Device-resident expansion over `wins_per_call` chunk windows per
+    program: embeddings compact into a device buffer at a TRACED offset
+    and never cross the tunnel (measured D2H is 8-22 MB/s — the round-2
+    one-window-per-call form spent 110 of kcl-4's 226 s at RMAT-16
+    shipping (3, 2^18) blocks home).  fill=False only counts (the exact
+    buffer size for the fill pass); the count pass also accumulates the
+    NEXT level's wedge total with i32 saturation (callers fall back to
+    host slicing when it saturates)."""
+
+    @jax.jit
+    def run(members, e_all, koff_all, total, ctx, w0, carry):
+        from gardenia_tpu.ops import rowsel
+        rowptr, colidx, mem_ctx = ctx
+
+        def win(w, carry):
+            s = (w0 + w) * chunk
+            j = s + jnp.arange(chunk, dtype=jnp.int32)
+            e = jax.lax.dynamic_slice(e_all, (s,), (chunk,))
+            k_off = jax.lax.dynamic_slice(koff_all, (s,), (chunk,))
+            e = jnp.clip(e, 0, members.shape[1] - 1)
+            v1 = rowsel.take(members[0], e)
+            x = rowsel.take(
+                colidx,
+                jnp.minimum(rowsel.take(rowptr, v1) + k_off, nnz - 1))
+            ok = j < total
+            for i in range(1, n_members):
+                vi = rowsel.take(members[i], e)
+                ok = ok & member_fn(x, vi, mem_ctx)
+            n_new = jnp.sum(ok.astype(jnp.int32))
+            if not fill:
+                count, wsum = carry
+                # next level's wedge total = sum deg+(x) over survivors,
+                # saturating at i32 max
+                dx = jnp.where(
+                    ok,
+                    rowsel.take(rowptr, x + 1) - rowsel.take(rowptr, x),
+                    0)
+                wsum = jnp.minimum(
+                    wsum.astype(jnp.float32) + jnp.sum(dx,
+                                                       dtype=jnp.float32),
+                    jnp.float32(2**31 - 1))
+                return count + n_new, wsum
+            buf, offset = carry
+            # nonzero puts the true indices first, so the block's
+            # garbage tail past n_new is overwritten by the next
+            # window's write (or masked by the final nvalid)
+            idx = jnp.nonzero(ok, size=chunk, fill_value=chunk - 1)[0]
+            rows = jnp.concatenate(
+                [jnp.take(members, e[idx], axis=1), x[idx][None, :]],
+                axis=0)
+            buf = jax.lax.dynamic_update_slice(buf, rows, (0, offset))
+            return buf, offset + n_new
+
+        return jax.lax.fori_loop(0, wins_per_call, win, carry)
+
+    return run
+
+
 def _expand_level(nnz, n_members, count_only, chunk, member_fn=None):
     """Build the jitted chunk expander for embeddings with n_members
     vertices: wedge j = (embedding e, slot k into N+(v1)).  All graph
@@ -216,6 +297,98 @@ def _member(rowptr, colidx, nnz, queries, rows):
                        acc_dtype=jnp.int32) == queries)
 
 
+LAST_WIN = 1 << 12
+EXPAND_WINS = 64    # chunk windows per device program (bounds program
+                    # runtime under the ~2-minute axon worker kill)
+
+
+def _kcl_device(dag, k: int, chunk: int, member_fn, mem_ctx, ctx, deg):
+    """Fully device-resident kCL: embeddings never cross the tunnel
+    between levels (D2H measured at 8-22 MB/s; the host-loop form spent
+    half of kcl-4's RMAT-16 time shipping embedding blocks).  Each
+    non-final level runs a count pass (exact buffer size + the next
+    level's wedge total) then a fill pass compacting into a device
+    buffer at a traced offset; the final level rides the batched
+    rotation.  Returns None to fall back to the host-slice path when a
+    level's wedge space approaches int32."""
+    nnz = dag.nnz
+    rowptr_d = ctx[0]
+    src = np.repeat(np.arange(dag.m, dtype=np.int32), deg)
+    e0 = len(src)
+    cap0 = LAST_WIN * T.next_pow2(max(1, -(-e0 // LAST_WIN)))
+    m0 = np.zeros((2, cap0), np.int32)
+    m0[0, :e0] = src
+    m0[1, :e0] = np.asarray(dag.colidx)
+    members_d = jnp.asarray(m0)
+    count = e0
+    total_wedges = int(deg[src].sum())
+    guard = int((2 ** 31) * 0.98) - chunk * EXPAND_WINS
+
+    from gardenia_tpu.ops import rowsel
+    # total_wedges is EXACT for level 2 (host sum); for later levels it
+    # is the count pass's f32-saturating estimate, used ONLY as the
+    # overflow guard — the exact total is re-read from the device
+    # cumsum below before any masking depends on it
+    for level in range(2, k):
+        if level == k - 1:
+            last = dag._dev(
+                ("kcl_last_rot", level, LAST_WIN),
+                lambda: _make_last_level_rotate(dag, level, LAST_WIN))
+            out = last(members_d, jnp.int32(count), mem_ctx)
+            return int(np.asarray(out).astype(np.int64).sum())
+        if total_wedges == 0:
+            return 0
+        if total_wedges >= guard:
+            return None                     # host-slice fallback
+
+        # device wedge index over this level's embeddings
+        cap = members_d.shape[1]
+        v1 = members_d[0]
+        wpe = jnp.where(
+            jnp.arange(cap, dtype=jnp.int32) < count,
+            rowsel.take(rowptr_d, v1 + 1) - rowsel.take(rowptr_d, v1),
+            0)
+        cum_d = jnp.cumsum(wpe).astype(jnp.int32)
+        total_wedges = int(cum_d[-1])       # exact (guard bounds it)
+        if total_wedges == 0:
+            return 0
+        n_w = -(-total_wedges // chunk)
+        S = chunk * T.next_pow2(n_w)
+        e_all, koff_all = _build_wedge_index(cum_d, S=S)
+        n_calls = -(-S // (chunk * EXPAND_WINS))
+        tot_t = jnp.int32(total_wedges)
+
+        cnt_run = dag._dev(
+            ("kcl_dev_count", level, chunk, EXPAND_WINS),
+            lambda level=level: _make_expand_dev(
+                nnz, level, chunk, EXPAND_WINS, member_fn, False))
+        carry = (jnp.int32(0), jnp.float32(0))
+        for c in range(n_calls):
+            carry = cnt_run(members_d, e_all, koff_all, tot_t, ctx,
+                            jnp.int32(c * EXPAND_WINS), carry)
+        new_count = int(carry[0])
+        # guard estimate, inflated to absorb the f32 accumulation error
+        next_wedges = int(float(carry[1]) * 1.01) + 1024
+        if new_count == 0:
+            return 0
+
+        new_cap = LAST_WIN * T.next_pow2(
+            -(-(new_count + chunk) // LAST_WIN))
+        fill_run = dag._dev(
+            ("kcl_dev_fill", level, chunk, EXPAND_WINS),
+            lambda level=level: _make_expand_dev(
+                nnz, level, chunk, EXPAND_WINS, member_fn, True))
+        fcarry = (jnp.zeros((level + 1, new_cap), jnp.int32),
+                  jnp.int32(0))
+        for c in range(n_calls):
+            fcarry = fill_run(members_d, e_all, koff_all, tot_t, ctx,
+                              jnp.int32(c * EXPAND_WINS), fcarry)
+        members_d = fcarry[0]
+        count = new_count
+        total_wedges = next_wedges
+    return 0
+
+
 def kcl_solver(g, k: int, *, chunk: int = 1 << 18) -> int:
     """Reference entry KCLSolver(g, k, total, nthreads)
     (mining/kcl_dfs/kcl.h:28). g: undirected (symmetric) graph; the DAG
@@ -242,6 +415,11 @@ def kcl_solver(g, k: int, *, chunk: int = 1 << 18) -> int:
     else:
         member_fn, mem_ctx = None, None
     ctx = (rowptr, colidx, mem_ctx)
+
+    if member_fn is not None:
+        got = _kcl_device(dag, k, chunk, member_fn, mem_ctx, ctx, deg)
+        if got is not None:
+            return got
 
     # level-2 embeddings = DAG edges
     src = np.repeat(np.arange(dag.m, dtype=np.int32), deg)

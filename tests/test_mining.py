@@ -99,13 +99,40 @@ def test_sgl_diamond_formula_vs_enum():
 
 
 def test_kcl_multi_slice(monkeypatch):
-    """Embedding frontiers whose wedge space exceeds the per-slice
-    budget are processed in embedding-range slices (int32-safe)."""
+    """LEGACY host-slice path: embedding frontiers whose wedge space
+    exceeds the per-slice budget are processed in embedding-range
+    slices (int32-safe).  The device path is disabled so the fallback
+    machinery stays covered."""
     import gardenia_tpu.mining.kcl as kclmod
     g = random_graph(m=60, avg_deg=12, seed=7, symmetric=True)
     expect = kclmod.kcl_verifier(g, 4)
     monkeypatch.setattr(kclmod, "EMB_WEDGE_LIMIT", 512)
+    monkeypatch.setattr(kclmod, "_kcl_device",
+                        lambda *a, **kw: None)
     assert kclmod.kcl_solver(g, 4, chunk=256) == expect
+
+
+def test_kcl_device_multi_call(monkeypatch):
+    """Device-resident expansion with several windows per program and
+    several programs per level stays exact (k=4 and k=5)."""
+    import gardenia_tpu.mining.kcl as kclmod
+    g = random_graph(m=60, avg_deg=12, seed=7, symmetric=True)
+    monkeypatch.setattr(kclmod, "EXPAND_WINS", 2)
+    monkeypatch.setattr(kclmod, "LAST_WIN", 128)
+    for k in (4, 5):
+        expect = kclmod.kcl_verifier(g, k)
+        assert kclmod.kcl_solver(g, k, chunk=128) == expect
+
+
+def test_kcl_device_guard_falls_back(monkeypatch):
+    """When a level's wedge space nears int32 the device path declines
+    (guard goes negative here via a huge chunk) and the host-slice path
+    takes over, exactly."""
+    import gardenia_tpu.mining.kcl as kclmod
+    g = random_graph(m=60, avg_deg=12, seed=8, symmetric=True)
+    expect = kclmod.kcl_verifier(g, 4)
+    monkeypatch.setattr(kclmod, "EXPAND_WINS", 1 << 16)
+    assert kclmod.kcl_solver(g, 4, chunk=1 << 15) == expect
 
 
 def test_pattern_multi_slice(monkeypatch):
