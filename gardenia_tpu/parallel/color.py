@@ -45,50 +45,100 @@ def _sharded_edges(g, ndev):
 def vc_solver_dist(g, *, mesh=None, n_shards=None,
                    max_color: int = T.MAXCOLOR) -> VCResult:
     """Distributed Gebremedhin-Manne coloring; exact same fixed point as
-    the single-chip solver (solvers/vc.py)."""
+    the single-chip solver (solvers/vc.py).
+
+    OWNER-SHARDED (round 3, VERDICT r2 item 6): edges are partitioned
+    by their src's owner range (edge-balanced bounds), so each chip's
+    forbidden-color scatter touches only its own (R, C) slice — the
+    table memory divides by n_devices where the round-2 form psum-merged
+    a full (m, C) table per chip.  Conflict re-queueing is purely local
+    for the same reason (a vertex's conflicts live with its out-edges);
+    colors all_gather once per round.  Padded-global vertex ids keep the
+    src<dst tie-break order-isomorphic to the single-chip solver."""
     if mesh is None:
         mesh = make_mesh(n_shards)
     ndev = mesh.devices.size
     m, C = g.m, max_color
-    src, dst = _sharded_edges(g, ndev)
 
-    @partial(shard_map, mesh=mesh, in_specs=(P("v"), P("v")),
-             out_specs=(P(), P(), P()))
-    def run(src, dst):
-        src, dst = src[0], dst[0]
+    from gardenia_tpu.parallel.partition import edge_balanced_bounds
+    bounds = edge_balanced_bounds(g.rowptr, ndev)
+    R = T.round_up(max(1, int(np.max(np.diff(bounds)))), 8)
+    MP = ndev * R
+
+    def pad_map(ids):
+        s = np.searchsorted(bounds, ids, side="right") - 1
+        return (s * R + (ids - bounds[s])).astype(np.int32)
+
+    src_h = np.repeat(np.arange(g.m, dtype=np.int64), np.diff(g.rowptr))
+    dst_h = np.asarray(g.colidx, np.int64)
+    src_p = pad_map(src_h)
+    dst_p = pad_map(dst_h)
+    owner = np.searchsorted(bounds, src_h, side="right") - 1
+    per = T.round_up(max(1, int(np.bincount(owner,
+                                            minlength=ndev).max())), 8)
+    sl = np.full((ndev, per), R, np.int32)        # local src, sentinel R
+    dg = np.full((ndev, per), MP, np.int32)       # padded dst, sentinel
+    for s in range(ndev):
+        sel = owner == s
+        k = int(sel.sum())
+        sl[s, :k] = src_p[sel] - s * R
+        dg[s, :k] = dst_p[sel]
+    src_l, dst_g = jnp.asarray(sl), jnp.asarray(dg)
+
+    # real-vertex mask in padded coordinates (host-built, replicated)
+    real_mask = np.zeros(MP, bool)
+    for s in range(ndev):
+        real_mask[s * R: s * R + (bounds[s + 1] - bounds[s])] = True
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("v"), P("v"), P("v")),
+             out_specs=(P("v"), P(), P()))
+    def run2(src_l, dst_g, real_own):
+        from gardenia_tpu.ops import rowsel
+        src_l, dst_g, real_own = src_l[0], dst_g[0], real_own[0]
 
         def cond(state):
-            _, active, _ = state
-            return jnp.any(active)
+            return state[3] > 0
 
         def body(state):
-            from gardenia_tpu.ops import rowsel
-            colors, active, it = state
-            cd = rowsel.take(colors, jnp.minimum(dst, m - 1))
-            asrc = rowsel.take(active, jnp.minimum(src, m - 1))
-            flat = jnp.where(asrc & (src < m) & (dst < m),
-                             src * C + cd, m * C)
-            forb_l = jnp.zeros((m * C,), jnp.int32).at[flat].max(
-                1, mode="drop")
-            forb = jax.lax.psum(forb_l, "v").reshape(m, C)
+            colors_own, active_own, it, _ = state
+            colors = jax.lax.all_gather(colors_own, "v", tiled=True)
+            cd = rowsel.take(colors, jnp.minimum(dst_g, MP - 1))
+            asrc = rowsel.take(active_own, jnp.minimum(src_l, R - 1))
+            flat = jnp.where(asrc & (src_l < R) & (dst_g < MP),
+                             src_l * C + cd, R * C)
+            forb = jnp.zeros((R * C,), jnp.int32).at[flat].max(
+                1, mode="drop").reshape(R, C)
             fit = jnp.argmin(forb, axis=1).astype(jnp.int32)
-            colors = jnp.where(active, fit, colors)
-            cs = rowsel.take(colors, jnp.minimum(src, m - 1))
-            cd2 = rowsel.take(colors, jnp.minimum(dst, m - 1))
-            conf = (src < dst) & (dst < m) & (cs == cd2)
-            confl = jnp.zeros((m,), jnp.int32).at[
-                jnp.where(conf, src, m)].max(1, mode="drop")
-            conflict = jax.lax.psum(confl, "v") > 0
-            return colors, conflict, it + 1
+            colors_own = jnp.where(active_own, fit, colors_own)
+            upd = jax.lax.all_gather(colors_own, "v", tiled=True)
+            cs = rowsel.take(colors_own, jnp.minimum(src_l, R - 1))
+            cd2 = rowsel.take(upd, jnp.minimum(dst_g, MP - 1))
+            gsrc = jax.lax.axis_index("v") * R + src_l
+            conf = (gsrc < dst_g) & (dst_g < MP) & (src_l < R) \
+                & (cs == cd2)
+            confl = jnp.zeros((R,), bool).at[
+                jnp.where(conf, src_l, R)].set(True, mode="drop")
+            n_conf = jax.lax.psum(
+                jnp.sum(confl.astype(jnp.int32)), "v")
+            return colors_own, confl, it + 1, n_conf
 
-        colors0 = jnp.zeros((m,), jnp.int32)
-        active0 = jnp.ones((m,), bool)
-        colors, _, it = jax.lax.while_loop(
-            cond, body, (colors0, active0, jnp.int32(0)))
-        return colors, jnp.max(colors) + 1, it
+        n0 = jax.lax.psum(jnp.sum(real_own.astype(jnp.int32)), "v")
+        state = (jax.lax.pvary(jnp.zeros((R,), jnp.int32), "v"),
+                 real_own, jnp.int32(0), n0)
+        colors_own, _, it, _ = jax.lax.while_loop(cond, body, state)
+        ncol = jax.lax.pmax(
+            jnp.max(jnp.where(real_own, colors_own, -1)), "v") + 1
+        return colors_own, ncol, it
 
-    colors, ncol, it = jax.jit(run)(src, dst)
-    return VCResult(colors, ncol, it)
+    real_own = jnp.asarray(real_mask.reshape(ndev, R))
+    colors_p, ncol, it = jax.jit(run2)(src_l, dst_g, real_own)
+    cp = np.asarray(colors_p)
+    out = np.empty(m, np.int32)
+    for s in range(ndev):
+        lo, hi = bounds[s], bounds[s + 1]
+        out[lo:hi] = cp[s * R: s * R + (hi - lo)]
+    return VCResult(jnp.asarray(out), int(ncol), int(it))
 
 
 def scc_solver_dist(g, *, mesh=None, n_shards=None,
