@@ -133,18 +133,21 @@ def bench_spmv(scale: int, reps: int = 8):
     import jax
     import jax.numpy as jnp
     from gardenia_tpu.core.relabel import relabeled
-    from gardenia_tpu.ops.bsr import build_hybrid, spmv_hybrid
+    from gardenia_tpu.ops.bsr import spmv_hybrid
     from gardenia_tpu.utils.timer import time_op
     g = get_graph(scale, need_reverse=False)
+    # uniform 0.2 weights (the reference driver's own synthesis,
+    # src/spmv/main.cc:30) factor into scale * int8 count panels (ops/
+    # bsr constant-value factorization) — EXACTLY the warm_hybrid disk
+    # -cached unweighted layout with scale 0.2, so reuse it instead of
+    # re-running the ~80 min host build this machine takes at scale 20
+    warm_hybrid(g, scale)
     rel = relabeled(g)
     g2 = rel.graph
-    w2 = np.full(g2.nnz, 0.2, np.float32)
-    # uniform weights factor into scale * int8 count panels (ops/bsr
-    # constant-value factorization) — same layout economics as the
-    # unweighted hybrid, so the unweighted threshold applies
-    host = build_hybrid(g2.rowptr, g2.colidx, w2, num_cols=g2.n,
-                        dense_threshold=16)
-    hyb = jax.tree_util.tree_map(jax.device_put, host)
+    hyb = g2._dev(("hybrid", False, False, 16),
+                  lambda: (_ for _ in ()).throw(
+                      RuntimeError("warm_hybrid must have cached this")))
+    hyb = hyb._replace(scale=0.2)
 
     @jax.jit
     def apply_n(x, hyb_):
