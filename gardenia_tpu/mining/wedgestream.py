@@ -123,13 +123,6 @@ def _host_partitions(g, budget_slots: int):
     return [p for p in parts if p.n_slots], len(ua)
 
 
-def _pad_pow2(x: np.ndarray, fill) -> jnp.ndarray:
-    n = max(1, len(x))
-    p = 1 << (n - 1).bit_length()
-    return jnp.asarray(np.concatenate(
-        [x, np.full(p - len(x), fill, x.dtype if len(x) else np.int32)]))
-
-
 def _gen_keys(colidx_pad, starts, lens, a, width: int):
     b = jax.vmap(
         lambda s: jax.lax.dynamic_slice(colidx_pad, (s,), (width,))
