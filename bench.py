@@ -144,9 +144,9 @@ def bench_spmv(scale: int, reps: int = 8):
     warm_hybrid(g, scale)
     rel = relabeled(g)
     g2 = rel.graph
-    hyb = g2._dev(("hybrid", False, False, 16),
-                  lambda: (_ for _ in ()).throw(
-                      RuntimeError("warm_hybrid must have cached this")))
+    def _missing():
+        raise RuntimeError("warm_hybrid must have cached this layout")
+    hyb = g2._dev(("hybrid", False, False, 16), _missing)
     hyb = hyb._replace(scale=0.2)
 
     @jax.jit

@@ -190,7 +190,7 @@ def _make_pipeline(padn: int, n_e: int, *seg_ns: int):
     return pipe
 
 
-def wedge_stream_stats(g, budget_slots: int = 1 << 27):
+def wedge_stream_stats(g, budget_slots: int = 1 << 28):
     """Returns (c_non, tri_u, ua, ub): the 4-cycle codegree sum
     sum_{a<b} C(codeg(a,b), 2) // 2 and per-undirected-edge triangle
     counts (with endpoint arrays), all computed device-side."""
