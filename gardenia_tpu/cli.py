@@ -261,11 +261,12 @@ def run_kcl(args, variant="base"):
     if g.m <= 5000:
         check(total == kcl_verifier(g, k))
     elif k == 3:
-        # at-scale cross-check against the independent TC implementation
-        # (bitmap + merge/rotation intersection vs kcl's chunked
-        # membership expansion)
-        from gardenia_tpu.solvers.tc import tc_solver
-        check(total == tc_solver(g))
+        # at-scale cross-check: `total` rode the k==3 -> tc_solver
+        # shortcut, so re-count through kcl's ACTUAL expansion machinery
+        # (final-level rotation over edge embeddings, force_expand=True
+        # bypasses the shortcut) — two independent implementations must
+        # agree
+        check(total == kcl_solver(g, 3, force_expand=True))
     else:
         print("(verification skipped: graph too large for serial oracle)")
 

@@ -209,11 +209,14 @@ def _make_expand_dev(nnz, n_members, chunk, wins_per_call, member_fn,
             n_new = jnp.sum(ok.astype(jnp.int32))
             if not fill:
                 count, wsum = carry
-                # next level's wedge total = sum deg+(x) over survivors,
-                # saturating at i32 max
+                # next level's wedge total: the next level expands from
+                # members[0] again (win() enumerates N+(members[0])), so
+                # the per-survivor wedge count is deg+(v1), NOT deg+(x)
+                # — deg+(x) can badly underestimate in the degree-ordered
+                # DAG and let the i32 overflow guard pass wrongly
                 dx = jnp.where(
                     ok,
-                    rowsel.take(rowptr, x + 1) - rowsel.take(rowptr, x),
+                    rowsel.take(rowptr, v1 + 1) - rowsel.take(rowptr, v1),
                     0)
                 wsum = jnp.minimum(
                     wsum.astype(jnp.float32) + jnp.sum(dx,
@@ -389,12 +392,18 @@ def _kcl_device(dag, k: int, chunk: int, member_fn, mem_ctx, ctx, deg):
     return 0
 
 
-def kcl_solver(g, k: int, *, chunk: int = 1 << 18) -> int:
+def kcl_solver(g, k: int, *, chunk: int = 1 << 18,
+               force_expand: bool = False) -> int:
     """Reference entry KCLSolver(g, k, total, nthreads)
     (mining/kcl_dfs/kcl.h:28). g: undirected (symmetric) graph; the DAG
-    orientation is applied internally like the reference driver."""
+    orientation is applied internally like the reference driver.
+
+    force_expand=True bypasses the k==3 -> tc_solver shortcut and runs
+    the actual kcl expansion machinery (final-level rotation over edge
+    embeddings) — used by the CLI's at-scale k=3 cross-check, which
+    would otherwise compare tc_solver with itself."""
     assert k >= 3
-    if k == 3:
+    if k == 3 and not force_expand:
         # 3-cliques ARE triangles: the lane-rotation intersection kernel
         # is ~2 orders of magnitude faster than per-wedge membership
         from gardenia_tpu.solvers.tc import tc_solver

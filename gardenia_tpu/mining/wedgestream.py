@@ -197,8 +197,6 @@ def wedge_stream_stats(g, budget_slots: int = 1 << 28):
     if g.m > MAX_KEY_VERTS:
         raise ValueError("wedge_stream_stats needs m <= 65536 "
                          "(packed 32-bit keys)")
-    # idx*2 in the analyze scan must stay int32
-    assert budget_slots <= 1 << 29, "budget_slots > 2^29 breaks i32 idx"
     parts, n_u = g._dev(("wedgestream_parts", budget_slots),
                         lambda: _host_partitions(g, budget_slots))
     colidx_pad = g._dev(("colidx_pad128",), lambda: jnp.asarray(
@@ -223,6 +221,12 @@ def wedge_stream_stats(g, budget_slots: int = 1 << 28):
     if raw == 0:
         return 0, np.zeros(n_u, np.int32), None, None
     padn = max(BLOCK, 1 << (raw - 1).bit_length())
+    # `packed = idx*2 + is_edge` in the analyze scan must stay int32 —
+    # assert on the COMPUTED stream length (budget_slots alone does not
+    # bound padn: per-width pow2 caps are taken across partitions and a
+    # single hub-a partition can exceed the budget outright)
+    assert padn <= 1 << 30, \
+        f"padded stream length {padn} > 2^30 breaks i32 idx*2"
     pipe = _make_pipeline(padn, e_cap, *seg_caps)
 
     def pad_to(x, cap, fill):

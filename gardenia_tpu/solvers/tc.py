@@ -422,6 +422,11 @@ def tc_rotate(g, *, chunk: int = 1 << 13, presorted_dag: bool = False,
     table = dag._dev(("tc_rot3_table",), lambda: jnp.asarray(th_h))
     merge_ws = [W for W in streams if W >= MERGE_MIN_W]
     if merge_ws:
+        # _bitonic_intersect remaps pads to keys starting at 1<<28: a
+        # real vertex id >= 2^28 would collide with pad keys and corrupt
+        # counts (the rotation path has no such ceiling)
+        assert dag.m < (1 << 28), \
+            "merge kernel pad keys collide with vertex ids >= 2^28"
         table_rev = dag._dev(
             ("tc_merge_tablerev",),
             lambda: jnp.asarray(np.ascontiguousarray(th_h[:, ::-1])))
