@@ -55,6 +55,22 @@ def get_graph(scale: int, need_reverse: bool):
     return g
 
 
+def get_graph_directed(scale: int):
+    """DIRECTED R-MAT (no symmetrization) — SCC on a symmetrized graph
+    degenerates to CC, so its bench needs the raw digraph."""
+    from gardenia_tpu import load_graph
+    from gardenia_tpu.core.generate import generate_graph
+    from gardenia_tpu.core.io import write_bin_csr
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    prefix = os.path.join(CACHE_DIR, f"rmat{scale}d")
+    if os.path.exists(prefix + ".meta.txt"):
+        return load_graph(prefix, "bin", need_reverse=True)
+    g = generate_graph("rmat", scale=scale, degree=16, symmetrize=False,
+                       need_reverse=True)
+    write_bin_csr(prefix, g.rowptr, g.colidx)
+    return g
+
+
 _HYBRID_CACHE_VERSION = 4   # bump when ops/bsr.py layouts change
 
 

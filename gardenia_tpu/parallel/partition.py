@@ -132,15 +132,22 @@ def edge_balanced_bounds(rowptr: np.ndarray, n_shards: int) -> np.ndarray:
 
 
 def partition_ell_1d(g, n_shards: int, *, reverse: bool = False,
-                     weighted: bool = False,
+                     weighted: bool = False, ax=None,
                      balance: str = "vertices",
                      width_cap: int = T.ELL_WIDTH_CAP) -> Partition1D:
-    """Split g's rows into n contiguous ranges and ELL-block each range."""
+    """Split g's rows into n contiguous ranges and ELL-block each range.
+
+    ax: optional edge values in the chosen direction's CSR edge order,
+    overriding the graph's own weights (the SpMV driver's synthetic Ax,
+    src/spmv/main.cc:28-37); implies weighted."""
     rp = g.in_rowptr if reverse else g.rowptr
     ci = g.in_colidx if reverse else g.colidx
-    w = (g.in_weights if reverse else g.weights) if weighted else None
-    if weighted and w is None:
-        w = np.ones(len(ci), np.float32)
+    if ax is not None:
+        weighted, w = True, np.asarray(ax, np.float32)
+    else:
+        w = (g.in_weights if reverse else g.weights) if weighted else None
+        if weighted and w is None:
+            w = np.ones(len(ci), np.float32)
     m = g.m
     if balance == "edges":
         bounds = edge_balanced_bounds(rp, n_shards)

@@ -9,8 +9,10 @@ from tests.conftest import DATASETS, random_graph
 import jax
 
 from gardenia_tpu import load_graph
-from gardenia_tpu.parallel import (bfs_solver_dist, make_mesh,
+from gardenia_tpu.parallel import (bc_batched_dist, bfs_solver_dist,
+                                   cc_solver_dist, make_mesh,
                                    pr_solver_dist, sgd_train_dist,
+                                   spmv_solver_dist, sssp_solver_dist,
                                    tc_solver_dist)
 from gardenia_tpu.verify import oracles
 
@@ -171,6 +173,70 @@ def test_tc_dist2d_wedge_slices():
                             wedge_budget=128) == expect
 
 
+@pytest.mark.parametrize("balance", ["vertices", "edges"])
+def test_sssp_dist_matches_oracle(mesh, balance):
+    g = random_graph(m=157, avg_deg=5, seed=11, weighted=True)
+    res = sssp_solver_dist(g, 3, mesh=mesh, balance=balance)
+    np.testing.assert_array_equal(np.asarray(res.dist),
+                                  oracles.sssp_serial(g, 3))
+
+
+def test_sssp_dist_unweighted_unreachable(mesh):
+    g = random_graph(m=150, avg_deg=2, seed=4)   # directed, unit weights
+    res = sssp_solver_dist(g, 7, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(res.dist),
+                                  oracles.sssp_serial(g, 7))
+
+
+@pytest.mark.parametrize("balance", ["vertices", "edges"])
+def test_cc_dist_matches_oracle(mesh, balance):
+    g = random_graph(m=143, avg_deg=2, seed=7, symmetric=True)
+    res = cc_solver_dist(g, mesh=mesh, balance=balance)
+    comp = np.asarray(res.comp)
+    expect = oracles.cc_serial(g)
+    # same partition into components (labels may differ)
+    _, ia = np.unique(comp, return_inverse=True)
+    _, ib = np.unique(expect, return_inverse=True)
+    assert len(np.unique(ia * (ib.max() + 1) + ib)) == \
+        len(np.unique(ib)) == len(np.unique(ia))
+    assert len(np.unique(ia)) > 1   # non-trivial: several components
+    # labels are the min original vertex id of each component
+    mins = np.full(comp.max() + 1, -1)
+    for lbl in np.unique(comp):
+        assert lbl == np.flatnonzero(comp == lbl).min()
+
+
+def test_bc_dist_matches_single(mesh):
+    from gardenia_tpu.solvers.bc import bc_batched
+    g = random_graph(m=120, avg_deg=6, seed=2, symmetric=True)
+    sources = (np.arange(16) * 7) % g.m
+    d = bc_batched_dist(g, sources, mesh=mesh)
+    s = bc_batched(g, sources)
+    assert int(d.iterations) == int(s.iterations)
+    np.testing.assert_allclose(np.asarray(d.scores),
+                               np.asarray(s.scores), atol=1e-5)
+
+
+@pytest.mark.parametrize("balance", ["vertices", "edges"])
+def test_spmv_dist_matches_oracle(mesh, balance):
+    g = random_graph(m=133, avg_deg=6, seed=5, weighted=True)
+    y = spmv_solver_dist(g, mesh=mesh, balance=balance)
+    expect = oracles.spmv_serial(g, np.asarray(g.weights, np.float32),
+                                 np.full(g.n, 0.3, np.float32))
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_spmv_dist_synthetic_ax(mesh):
+    """Unweighted graph rides the reference driver's synthetic 0.2."""
+    g = random_graph(m=90, avg_deg=4, seed=8)
+    y = spmv_solver_dist(g, mesh=mesh)
+    expect = oracles.spmv_serial(g, np.full(g.nnz, 0.2, np.float32),
+                                 np.full(g.n, 0.3, np.float32))
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_pr_bfs_dist_at_scale(mesh):
     """At-scale virtual-mesh regression (VERDICT r2: the few-hundred-
     vertex tests prove collectives compile, not that the sharded
@@ -192,3 +258,37 @@ def test_pr_bfs_dist_at_scale(mesh):
     res = bfs_solver_dist(g, 7, mesh=mesh, balance="edges")
     np.testing.assert_array_equal(np.asarray(res.dist),
                                   oracles.bfs_serial(g, 7))
+
+
+def test_sssp_cc_bc_spmv_dist_at_scale(mesh):
+    """RMAT-13 virtual-mesh oracle equality for the round-4 distributed
+    kernels (VERDICT r3 item 1): non-trivial shard sizes on all 8
+    devices, edge-balanced bounds."""
+    from gardenia_tpu.core.generate import generate_graph
+    from gardenia_tpu.solvers.bc import bc_batched
+
+    g = generate_graph("rmat", scale=13, degree=8, symmetrize=True,
+                       need_reverse=True)
+    res = sssp_solver_dist(g, 5, mesh=mesh, balance="edges")
+    np.testing.assert_array_equal(np.asarray(res.dist),
+                                  oracles.sssp_serial(g, 5))
+
+    comp = np.asarray(cc_solver_dist(g, mesh=mesh,
+                                     balance="edges").comp)
+    expect = oracles.cc_serial(g)
+    _, ia = np.unique(comp, return_inverse=True)
+    _, ib = np.unique(expect, return_inverse=True)
+    assert len(np.unique(ia * (ib.max() + 1) + ib)) == \
+        len(np.unique(ib)) == len(np.unique(ia))
+
+    sources = (np.arange(16) * 131) % g.m
+    d = bc_batched_dist(g, sources, mesh=mesh)
+    s = bc_batched(g, sources)
+    np.testing.assert_allclose(np.asarray(d.scores),
+                               np.asarray(s.scores), atol=1e-4)
+
+    y = spmv_solver_dist(g, mesh=mesh, balance="edges")
+    expect_y = oracles.spmv_serial(g, np.full(g.nnz, 0.2, np.float32),
+                                   np.full(g.n, 0.3, np.float32))
+    np.testing.assert_allclose(np.asarray(y), expect_y, rtol=1e-4,
+                               atol=1e-5)
