@@ -390,10 +390,119 @@ def bench_motif(scale: int, k: int = 4):
                        "ms": round(secs * 1e3, 3), "nnz": g.nnz}}
 
 
+# A100-class stand-ins for the round-4 rows (the reference publishes no
+# tables; order-of-magnitude rates from GPU graph literature so every
+# kernel has a tracked number to optimize against, VERDICT r3 item 5)
+BASELINE_VC_MS_PER_MEDGE = 1.0    # speculative GM coloring, scale-free
+BASELINE_SCC_MS_PER_MEDGE = 1.0   # FB-Trim / color propagation
+BASELINE_MST_MS_PER_MEDGE = 2.0   # GPU Boruvka, ~0.5 G edges/s class
+BASELINE_SYMGS_GFLOPS = 30.0      # color-serialized smoother (< SpMV)
+BASELINE_SGL_MEPS = 100.0         # G2Miner-class diamond listing
+
+
+def bench_vc(scale: int):
+    from gardenia_tpu.solvers.vc import vc_solver
+    from gardenia_tpu.utils.timer import time_op
+    g = get_graph(scale, need_reverse=False)
+    res, secs = time_op(lambda: vc_solver(g), warmup=1, iters=3)
+    ms_per_medge = secs * 1e3 / (g.nnz / 1e6)
+    return {"metric": f"vc_ms_rmat{scale}",
+            "value": round(secs * 1e3, 3), "unit": "ms",
+            "vs_baseline": round(BASELINE_VC_MS_PER_MEDGE / ms_per_medge,
+                                 4),
+            "detail": {"num_colors": int(res.num_colors),
+                       "rounds": int(res.iterations), "nnz": g.nnz}}
+
+
+def bench_scc(scale: int):
+    """FB-Trim SCC on the DIRECTED R-MAT (symmetrized input would
+    degenerate to CC)."""
+    from gardenia_tpu.solvers.scc import scc_solver
+    from gardenia_tpu.utils.timer import time_op
+    g = get_graph_directed(scale)
+    res, secs = time_op(lambda: scc_solver(g), warmup=1, iters=2)
+    ms_per_medge = secs * 1e3 / (g.nnz / 1e6)
+    n_scc = len(np.unique(np.asarray(res.scc_root)))
+    return {"metric": f"scc_ms_rmat{scale}d",
+            "value": round(secs * 1e3, 3), "unit": "ms",
+            "vs_baseline": round(
+                BASELINE_SCC_MS_PER_MEDGE / ms_per_medge, 4),
+            "detail": {"sccs": n_scc, "rounds": int(res.iterations),
+                       "nnz": g.nnz}}
+
+
+def bench_mst(scale: int):
+    """Boruvka MST on the symmetrized R-MAT with synthetic integral
+    weights (the reference driver's convention, src/mst/main.cu:171)."""
+    from gardenia_tpu.core.graph import Graph
+    from gardenia_tpu.solvers.mst import mst_solver
+    from gardenia_tpu.utils.timer import time_op
+    base_g = get_graph(scale, need_reverse=False)
+    rng = np.random.default_rng(29)
+    # symmetric weights: w(u,v) == w(v,u) via a hash of the unordered pair
+    src = np.repeat(np.arange(base_g.m, dtype=np.int64),
+                    np.diff(base_g.rowptr))
+    dst = np.asarray(base_g.colidx, np.int64)
+    lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+    w = ((lo * 2654435761 + hi * 40503) % 97 + 1).astype(np.float64)
+    g = Graph(base_g.rowptr, base_g.colidx, w, num_cols=base_g.n,
+              symmetric=True)
+    res, secs = time_op(lambda: mst_solver(g), warmup=1, iters=2)
+    ms_per_medge = secs * 1e3 / (g.nnz / 1e6)
+    return {"metric": f"mst_boruvka_ms_rmat{scale}",
+            "value": round(secs * 1e3, 3), "unit": "ms",
+            "vs_baseline": round(
+                BASELINE_MST_MS_PER_MEDGE / ms_per_medge, 4),
+            "detail": {"weight": float(res.total_weight),
+                       "tree_edges": int(np.asarray(res.edge_mask).sum()),
+                       "nnz": g.nnz}}
+
+
+def bench_symgs(scale: int):
+    """Colored symmetric Gauss-Seidel: fwd+bwd masked sweeps (~4*nnz
+    flops).  Coloring is preprocessing (the reference composes VCSolver
+    the same way, src/symgs/main.cc:52-61) and is not timed."""
+    from gardenia_tpu.solvers.symgs import symgs_solver
+    from gardenia_tpu.solvers.vc import vc_solver
+    from gardenia_tpu.utils.timer import time_op
+    g = get_graph(scale, need_reverse=True)
+    rng = np.random.default_rng(13)
+    Ax = rng.random(g.nnz).astype(np.float32)
+    x0 = rng.random(g.m).astype(np.float32)
+    b = rng.random(g.m).astype(np.float32)
+    diag = (g.degrees + 1).astype(np.float32)
+    colors = np.asarray(vc_solver(g).colors)
+    res, secs = time_op(
+        lambda: symgs_solver(g, Ax, x0, b, diag, colors),
+        warmup=1, iters=3)
+    gflops = 4 * g.nnz / secs / 1e9
+    return {"metric": f"symgs_gflops_rmat{scale}",
+            "value": round(gflops, 3), "unit": "GFLOP/s",
+            "vs_baseline": round(gflops / BASELINE_SYMGS_GFLOPS, 4),
+            "detail": {"ms": round(secs * 1e3, 3),
+                       "colors": int(colors.max()) + 1, "nnz": g.nnz}}
+
+
+def bench_sgl(scale: int, pattern: str = "diamond"):
+    from gardenia_tpu.mining.sgl import sgl_solver
+    from gardenia_tpu.utils.timer import time_op
+    g = get_graph(scale, need_reverse=False)
+    total, secs = time_op(lambda: sgl_solver(g, pattern),
+                          warmup=1, iters=2)
+    meps = g.nnz / secs / 1e6
+    return {"metric": f"sgl_{pattern}_meps_rmat{scale}",
+            "value": round(meps, 3), "unit": "M edges/s",
+            "vs_baseline": round(meps / BASELINE_SGL_MEPS, 4),
+            "detail": {"count": int(total), "ms": round(secs * 1e3, 3),
+                       "nnz": g.nnz}}
+
+
 KERNELS = {"pr": bench_pr, "spmv": bench_spmv, "bfs": bench_bfs,
            "msbfs": bench_msbfs, "cc": bench_cc, "tc": bench_tc,
            "bc": bench_bc, "sgd": bench_sgd, "sssp": bench_sssp,
-           "kcl": bench_kcl, "motif": bench_motif}
+           "kcl": bench_kcl, "motif": bench_motif, "vc": bench_vc,
+           "scc": bench_scc, "mst": bench_mst, "symgs": bench_symgs,
+           "sgl": bench_sgl}
 
 
 def main():
