@@ -73,6 +73,100 @@ def test_bfs_iterations_match_reference_binary():
     assert int(res.iterations) == ref_iters
 
 
+HARNESS = os.path.join(os.path.dirname(__file__), "ref_harness")
+
+
+def _build_harness(kernel: str, harness_src: str, extra=()) -> str:
+    """Compile OUR harness main against the REFERENCE's verifier sources."""
+    os.makedirs(BUILD, exist_ok=True)
+    out = os.path.join(BUILD, os.path.basename(harness_src)[:-3])
+    if os.path.exists(out):
+        return out
+    srcs = [os.path.join(HARNESS, harness_src),
+            f"{REF}/src/{kernel}/verifier.cc"] + list(extra)
+    subprocess.run(["g++", "-O2", "-fopenmp", f"-I{REF}/include",
+                    f"-I{REF}/src/{kernel}", "-o", out] + srcs,
+                   check=True, capture_output=True)
+    return out
+
+
+def _tmp_array(arr, name):
+    path = os.path.join(BUILD, name)
+    np.asarray(arr).tofile(path)
+    return path
+
+
+def test_sssp_reference_verifier_accepts_ours():
+    """The reference's own serial-Dijkstra verifier (src/sssp/verifier.cc:8,
+    EXACT distance equality) passes our near-far distances."""
+    exe = _build_harness("sssp", "sssp_verify_ours.cc")
+
+    from gardenia_tpu import load_graph
+    from gardenia_tpu.core.types import MYINFINITY
+    from gardenia_tpu.solvers.sssp import sssp_solver
+    g = load_graph(f"{REF}/datasets/chesapeake.mtx", "mtx", symmetrize=True)
+    res = sssp_solver(g, 0)  # unit weights, like src/sssp/main.cc:27
+    dist = np.asarray(res.dist, np.int32).copy()
+    kDistInf = np.int32(2**31 - 1)  # sssp.h:46 (UINT_MAX/2 as int)
+    dist[dist >= MYINFINITY] = kDistInf
+    path = _tmp_array(dist, "ours_sssp_dist.bin")
+    out = _run(exe, "mtx", f"{REF}/datasets/chesapeake", "1", "0", "0", path)
+    assert "Correct" in out, out
+
+
+def test_bc_reference_verifier_accepts_ours():
+    """The reference's serial-Brandes verifier (src/bc/verifier.cc:70,
+    1e-4 normalized-score tolerance) passes our single-source scores."""
+    exe = _build_harness("bc", "bc_verify_ours.cc")
+
+    from gardenia_tpu import load_graph
+    from gardenia_tpu.solvers.bc import bc_solver
+    g = load_graph(f"{REF}/datasets/chesapeake.mtx", "mtx", symmetrize=True)
+    res = bc_solver(g, 0)
+    path = _tmp_array(np.asarray(res.scores, np.float32), "ours_bc.bin")
+    out = _run(exe, "mtx", f"{REF}/datasets/chesapeake", "1", "0", "0", path)
+    assert "Correct" in out, out
+
+
+def test_spmv_reference_verifier_accepts_ours():
+    """The reference's SpmvSerial + max-relative-error check
+    (src/spmv/verifier.cc:7, spmv_util.h:16-43) passes our y-vector under
+    the driver's synthetic operands (Ax=0.2, x=0.3, main.cc:28-37)."""
+    exe = _build_harness("spmv", "spmv_verify_ours.cc")
+
+    from gardenia_tpu import load_graph
+    from gardenia_tpu.solvers.spmv import spmv_solver
+    g = load_graph(f"{REF}/datasets/chesapeake.mtx", "mtx", symmetrize=True)
+    y = spmv_solver(g)  # defaults mirror the reference driver
+    path = _tmp_array(np.asarray(y, np.float32), "ours_spmv_y.bin")
+    out = _run(exe, "mtx", f"{REF}/datasets/chesapeake", "1", "0", path)
+    assert "Correct" in out, out
+
+
+def test_tc_reference_binary_count_matches():
+    """The reference's tc_omp_base (src/tc/omp_base.cc, DAG orientation in
+    the loader, src/common/graph.cc:41) prints the same triangle total as
+    our tc solver on the same graph."""
+    os.makedirs(BUILD, exist_ok=True)
+    exe = os.path.join(BUILD, "tc_omp_base")
+    if not os.path.exists(exe):
+        srcs = [f"{REF}/src/tc/main.cc", f"{REF}/src/tc/omp_base.cc",
+                f"{REF}/src/tc/VertexSet.cc", f"{REF}/src/common/graph.cc"]
+        subprocess.run(["g++", "-O2", "-fopenmp", "-std=c++17",
+                        f"-I{REF}/include", f"-I{REF}/src/tc",
+                        "-o", exe] + srcs, check=True, capture_output=True)
+
+    from gardenia_tpu import load_graph
+    from gardenia_tpu.core import io as gio
+    from gardenia_tpu.solvers.tc import tc_solver
+    g = load_graph(f"{REF}/datasets/chesapeake.mtx", "mtx", symmetrize=True)
+    prefix = os.path.join(BUILD, "chesapeake_bin")
+    gio.write_bin_csr(prefix, np.asarray(g.rowptr), np.asarray(g.colidx))
+    out = _run(exe, prefix)
+    ref_total = int(re.search(r"total_num_triangles = (\d+)", out).group(1))
+    assert ref_total == int(tc_solver(g))
+
+
 def test_cc_reference_binary_agrees():
     exe = _build("cc", "omp_afforest")
     out = _run(exe, "mtx", f"{REF}/datasets/chesapeake", "1", "1")
