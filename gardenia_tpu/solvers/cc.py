@@ -61,34 +61,21 @@ def cc_sv(g, *, layout: str = "ell") -> CCResult:
     2*nnz edge entries — scalar scatters are the expensive op on TPU,
     PERFORMANCE.md), then full pointer jumping.
 
-    layout='hybrid' (EXPERIMENTAL, opt-in): the sweep rides the hybrid
-    layout — dense panels run a VPU masked-min Pallas kernel
-    (ops/pallas_bsr.dense_panel_minselect, the hybrid's min-semiring
-    counterpart to the MXU plus-times path) and only the remainder
-    pays rowsel gathers; labels live in relabeled id space and map
-    back at the end.  Correct on the virtual-mesh/interpret tests and
-    (round 3) the kernel's VMEM stack fits after the sub-block rework,
-    but an early r3 measurement had the panel min-select LOSING to the
-    ELL sweep at RMAT-16 (400 vs 67 ms — the xg gather + per-slot grid
-    overheads dominate a min that has no MXU to ride), and later
-    compile attempts of the fused loop hung the axon remote compiler
-    outright.  'ell' + the round-3 frontier-ized rounds stay the
-    production path."""
+    layout='hybrid' (PRODUCTION on TPU since round 4): the dense round
+    rides the hybrid layout — panels run the XLA fused masked reduce
+    -min (ops/bsr.spmv_hybrid_min_select: where(panel != 0, x, SENT)
+    fused into the reduction, streaming int8 panels at HBM bandwidth)
+    and only the remainder pays rowsel gathers; labels live in
+    relabeled id space and map back at the end.  This replaces the
+    round-3 Pallas min-select kernel, which lost 6x to ELL at RMAT-16
+    (per-slot grid overhead with no MXU to ride); the XLA masked
+    reduce measured ~panel-bandwidth in round 4 and works on every
+    backend."""
     from gardenia_tpu.ops import I32_MIN_SELECT2, spmv_ell
     from gardenia_tpu.solvers.bfs import _resolve_layout
 
     if layout == "auto":
         layout = _resolve_layout(layout)
-    if layout == "hybrid":
-        from gardenia_tpu.ops import pallas_bsr
-        if not pallas_bsr.available():
-            import warnings
-            warnings.warn(
-                "cc_sv layout='hybrid' needs a TPU backend (or "
-                "pltpu.force_tpu_interpret_mode()) for the Pallas "
-                "min-select panel kernel; falling back to layout='ell'",
-                stacklevel=2)
-            layout = "ell"
     m = g.m
     SENT = np.int32(np.iinfo(np.int32).max)
 

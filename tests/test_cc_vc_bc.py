@@ -39,14 +39,12 @@ def test_cc_directed_weak(variant):
 
 @pytest.mark.parametrize("symmetric", [True, False])
 def test_cc_sv_hybrid_layout(symmetric):
-    """The TPU production CC path (masked-min dense panels + ELL
-    remainder, relabeled id space) matches the oracle; interpret mode
-    stands in for Mosaic on CPU."""
-    from jax.experimental.pallas import tpu as pltpu
+    """The TPU production CC path (XLA fused masked-min dense panels +
+    ELL remainder, relabeled id space) matches the oracle on any
+    backend (round 4: no Pallas in the path anymore)."""
     from gardenia_tpu.solvers.cc import cc_sv
     g = random_graph(m=200, avg_deg=4, seed=5, symmetric=symmetric)
-    with pltpu.force_tpu_interpret_mode():
-        res = cc_sv(g, layout="hybrid")
+    res = cc_sv(g, layout="hybrid")
     np.testing.assert_array_equal(canonical(res.comp),
                                   canonical(oracles.cc_serial(g)))
 
