@@ -170,9 +170,8 @@ def _host_query_partitions(g2, ua, ub, eid, budget_slots: int):
     start, length, width, (qb, qe) = _segment_cover(
         rp[ua.astype(np.int64)[qsel]], qlen[qsel],
         [ub[qsel].astype(np.int64), eid[qsel].astype(np.int64)])
-    order = np.argsort(start, kind="stable")  # any order; keep locality
-    start, length, width = start[order], length[order], width[order]
-    qb, qe = qb[order], qe[order]
+    # edge order as-is: slice locality buys nothing on HBM, and a ~50M
+    # host argsort costs a minute on this host (np.sort 0.8 M keys/s)
     sw = np.cumsum(width)
     parts = []
     lo = 0

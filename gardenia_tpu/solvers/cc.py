@@ -136,48 +136,62 @@ def cc_sv(g, *, layout: str = "ell") -> CCResult:
         deg_all = gsrc.device_degrees()
         if not gsrc.symmetric:
             deg_all = deg_all + gsrc.device_degrees(reverse=True)
-        # top tier clamped at 32K slots (round 4; was 512K): the 512K
-        # sparse round MEASURED 34.6 ms vs the dense sweep's 38 at
-        # RMAT-20 (scripts/measure_cc2.py) while costing a 66 s compile
-        # and a giant switch branch — mid-size rounds just go dense.
-        # Multi-million-slot scatter shapes under lax.switch also sent
-        # the axon remote compiler into 20+ minute territory (twice
-        # wedging the tunnel outright), so tiers stay small.
+        # top tier clamped at 512K slots: beyond that the dense sweep
+        # is cheaper anyway (13 gather-class ops x ~4 ns/slot vs one
+        # O(E) min-select), and multi-million-slot scatter shapes under
+        # lax.switch sent the axon remote compiler into 20+ minute
+        # territory (twice wedging the tunnel outright)
         cap_base = _T.next_pow2(max(len(dirs) * nnz // 8, 1024))
-        cap_base = min(cap_base, 1 << 15)
+        cap_base = min(cap_base, 1 << 19)
         tiers_cc = []
-        for shift in (4, 0):
+        for shift in (8, 4, 0):
             ce = max(2048, cap_base >> shift)
             if ce not in tiers_cc:
                 tiers_cc.append(ce)
+        # frequent-component skip (omp_afforest.cc SampleFrequentElement
+        # + the final-round skip, verifier.cc:13-33): vertices already
+        # carrying the giant component's label are excluded from the
+        # post-round-1 frontier.  Exact for this relaxation: labels are
+        # compressed after every round, so intra-component edges cannot
+        # improve anything, and every CROSS-label edge has an endpoint
+        # OUTSIDE the frequent component — relaxing non-frequent
+        # vertices over both directions covers all candidates.  At
+        # RMAT-20 this turns the O(E) confirmation sweep (round 2
+        # changed ~500K labels, nearly all freshly-compressed giant
+        # members) into a 2048-slot sparse round.
+        sample_idx = jnp.asarray(
+            np.random.default_rng(0).integers(0, m, 1024,
+                                              dtype=np.int64)
+            .astype(np.int32))
 
         def run(comp0, mats, dirs_, deg_all_, new_of_old_, old_of_new_):
-            # Afforest-style sampling pre-round (omp_afforest.cc:40-50,
-            # here fused into the sv path): hooking the FIRST neighbor
-            # of every vertex costs O(m) gathers — ~4% of a dense sweep
-            # — yet collapses almost all of the giant component,
-            # because on the degree-RELABELED graph the first neighbor
-            # is the minimum-id (= highest-degree) neighbor, i.e. the
-            # best possible min-label hook.  Round-4 NumPy simulation
-            # at RMAT-20: ONE such round + jump converges in a single
-            # dense sweep — the second sampling round of r3 changed
-            # nothing and cost a measured 30 ms + jump.
+            # Afforest-style sampling pre-rounds (omp_afforest.cc:40-50,
+            # here fused into the sv path): hooking just the r-th
+            # neighbor of every vertex costs O(m) gathers — ~4% of a
+            # dense sweep — yet collapses almost all of the giant
+            # component (on the degree-RELABELED graph the first
+            # neighbor is the minimum-id neighbor, the best possible
+            # min-label hook).  TWO rounds are load-bearing: round 4
+            # tried one and the solve paid a third full round (RMAT-20
+            # 350 vs 286 ms).
             if nnz:
                 vid = jnp.arange(m, dtype=jnp.int32)
                 rp0, ci0 = dirs_[0]
-                start = rp0[:m]
-                has = start < rp0[1:]
-                partner = rowsel.take(ci0, jnp.minimum(start, nnz - 1))
-                partner = jnp.where(has, partner, vid)
-                # two-sided root hook (comp0[vid] == comp0)
-                ld = rowsel.take(comp0, partner)
-                c = comp0.at[ld].min(comp0, mode="drop")
-                comp0 = pointer_jump(
-                    c.at[comp0].min(ld, mode="drop"))
+                for r in range(2):
+                    start = rp0[:m] + r
+                    has = start < rp0[1:]
+                    partner = rowsel.take(
+                        ci0, jnp.minimum(start, nnz - 1))
+                    partner = jnp.where(has, partner, vid)
+                    # two-sided root hook (comp0[vid] == comp0)
+                    ld = rowsel.take(comp0, partner)
+                    c = comp0.at[ld].min(comp0, mode="drop")
+                    comp0 = pointer_jump(
+                        c.at[comp0].min(ld, mode="drop"))
             def _sparse_round(ce):
                 def go(args):
-                    comp, changed = args
-                    ids = compact_mask(changed & (deg_all_ > 0),
+                    comp, live = args
+                    ids = compact_mask(live & (deg_all_ > 0),
                                        min(_T.next_pow2(max(m, 2)), ce),
                                        m)
                     new = comp
@@ -213,7 +227,21 @@ def cc_sv(g, *, layout: str = "ell") -> CCResult:
 
             def body(state):
                 comp, changed, it = state
-                scout = jnp.sum(jnp.where(changed, deg_all_, 0))
+                # frequent-component skip: every round relaxes ALL
+                # vertices not carrying the sampled frequent label
+                # (NOT just last round's changed set — a skipped giant
+                # vertex whose label drops must still be seen by its
+                # unchanged non-giant neighbors, so those neighbors
+                # stay in the frontier until fixpoint).  Every cross-
+                # label edge has a non-frequent endpoint and both
+                # direction lists are relaxed, so this covers every
+                # improving edge; labels decrease monotonically, so
+                # the loop still terminates on `changed`.
+                counts = jnp.zeros((m,), jnp.int32).at[
+                    rowsel.take(comp, sample_idx)].add(1, mode="drop")
+                biggest = jnp.argmax(counts).astype(jnp.int32)
+                live = comp != biggest
+                scout = jnp.sum(jnp.where(live, deg_all_, 0))
                 idx = jnp.int32(0)
                 for ce in tiers_cc:
                     idx = idx + jnp.where(scout > ce, 1, 0)
@@ -221,7 +249,7 @@ def cc_sv(g, *, layout: str = "ell") -> CCResult:
                 # nested inside every switch branch sent the axon
                 # remote compiler past 25 minutes at scale 20
                 comp2 = pointer_jump(
-                    jax.lax.switch(idx, branches, (comp, changed)))
+                    jax.lax.switch(idx, branches, (comp, live)))
                 return comp2, comp2 != comp, it + 1
 
             changed0 = jnp.ones((m,), bool)
