@@ -237,8 +237,9 @@ def bench_cc(scale: int):
     from gardenia_tpu.solvers.cc import cc_solver
     from gardenia_tpu.utils.timer import time_op
     g = get_graph(scale, need_reverse=False)
-    # no warm_hybrid: cc rides the ELL + frontier-tier path, and the
-    # unused multi-GB hybrid layout tipped scale 20 into HBM OOM
+    # round 4: cc_sv's dense rounds ride the hybrid min-select, so the
+    # disk-cached layout is the one the solver needs anyway
+    warm_hybrid(g, scale)
     res, secs = time_op(lambda: cc_solver(g, variant="sv"),
                         warmup=1, iters=3)
     ms_per_medge = secs * 1e3 / (g.nnz / 1e6)

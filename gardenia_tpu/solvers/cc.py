@@ -54,7 +54,7 @@ def _coo(g):
     return src, dst
 
 
-def cc_sv(g, *, layout: str = "ell") -> CCResult:
+def cc_sv(g, *, layout: str = "auto") -> CCResult:
     """Gather-only Shiloach-Vishkin: per round one min-select sweep
     (in+out directions for directed graphs) gives each vertex its
     minimum neighbor label; hooking scatters only m root entries (not
@@ -198,9 +198,19 @@ def cc_sv(g, *, layout: str = "ell") -> CCResult:
                     for rp, ci in dirs_:
                         src, dst, valid, _ = expand_frontier_edges(
                             rp, ci, ids, ce)
-                        lbl = rowsel.take(comp, src)
+                        # TWO-SIDED relax (the reference Link,
+                        # omp_afforest.cc:12-25): the frequent-
+                        # component skip keeps a frequent-labeled u
+                        # out of ids forever, so the edge (u, v) must
+                        # improve BOTH endpoints when processed from
+                        # v's side — push-only relaxation never
+                        # delivered u's smaller label to v
+                        lbl_s = rowsel.take(comp, src)
+                        lbl_d = rowsel.take(comp, dst)
                         new = new.at[jnp.where(valid, dst, m)].min(
-                            lbl, mode="drop")
+                            lbl_s, mode="drop")
+                        new = new.at[jnp.where(valid, src, m)].min(
+                            lbl_d, mode="drop")
                     hooked = comp.at[comp].min(new, mode="drop")
                     return jnp.minimum(hooked, new)
                 return go

@@ -140,16 +140,7 @@ def _pair_streams(dag, cstart, n_chunks, clo, chi, fill, edge_sel):
     for w in ROT_WIDTHS:
         sel = W == w
         if sel.any():
-            if w >= MERGE_MIN_W:
-                # merge classes keep the NATURAL (unswapped) side and
-                # order: intersection is symmetric for the merge
-                # kernel, and urow-major order keeps equal-cu runs
-                # contiguous for _group_stream (the swap scrambled
-                # them: mean run 3.2 swapped vs 155 natural at W=128)
-                out[int(w)] = (cu[sel].astype(np.int32),
-                               cv[sel].astype(np.int32))
-            else:
-                out[int(w)] = (cu2[sel], cv2[sel])
+            out[int(w)] = (cu2[sel], cv2[sel])
     return out
 
 
@@ -201,20 +192,6 @@ def _pack_stream(a, b, chunk, pad_a, pad_b):
     bb = np.concatenate([b, np.full(tot - n, pad_b, np.int32)])
     return (jnp.asarray(aa.reshape(n_alloc, chunk)),
             jnp.asarray(bb.reshape(n_alloc, chunk)), n_steps)
-
-
-def _pack_grouped(cu_g, cv, chunk_g, G, sent):
-    """Grouped-stream packing: (n_g,) group reps + (n_g*G,) pair slots
-    -> (n_alloc, chunk_g) and (n_alloc, chunk_g*G) device arrays."""
-    n_g = len(cu_g)
-    n_steps = max(1, -(-n_g // chunk_g))
-    n_alloc = T.next_pow2(n_steps)
-    tot_g = n_alloc * chunk_g
-    aa = np.concatenate([cu_g, np.full(tot_g - n_g, sent, np.int32)])
-    bb = np.concatenate([cv, np.full(tot_g * G - len(cv), sent,
-                                     np.int32)])
-    return (jnp.asarray(aa.reshape(n_alloc, chunk_g)),
-            jnp.asarray(bb.reshape(n_alloc, chunk_g * G)), n_steps)
 
 
 def _rot_count_pallas(A, B, W: int, interpret: bool = False):
@@ -289,9 +266,6 @@ def _make_rot_run(W: int, chunk: int, use_pallas: bool):
 # rotation); W=8/16 tie — every class lands at a ~30 M pairs/s
 # gather+dispatch floor once compute stops binding
 MERGE_MIN_W = 32
-# pairs per shared-A group in the grouped merge stream; padding measured
-# 1.02-1.32x at RMAT-20 (see _group_stream)
-MERGE_GROUP = 8
 
 
 def _bitonic_intersect(a, b_rev, roll, lane):
@@ -324,83 +298,6 @@ def _bitonic_intersect(a, b_rev, roll, lane):
     # sorted-sequence boundary: mn[127] (roll(mn,1) at lane 0) vs mx[0]
     eq = eq + jnp.where((mx == roll(mn, 1)) & (lane == 0), one, zero)
     return eq
-
-
-def _group_stream(cu, cv, G: int, sent_cv: int):
-    """u-grouped merge-stream layout (VERDICT r3 item 9): pairs arrive
-    cu-run-contiguous from _pair_streams' urow-major enumeration; pad
-    every run to a multiple of G so each group of G pairs shares ONE
-    cu.  Returns (cu_g i32[n/G], cv_pad i32[n]).  Measured at RMAT-20:
-    mean run 155/52/13 pairs for W=128/64/32, padding 1.02/1.07/1.32 —
-    the per-group A-row gather drops chunk-row dispatches from 2 to
-    1 + 1/G per pair (the ~30 M pairs/s floor is dispatch-bound)."""
-    n = len(cu)
-    nb = np.flatnonzero(np.diff(cu))
-    starts = np.concatenate([[0], nb + 1]).astype(np.int64)
-    lens = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
-    plens = -(-lens // G) * G
-    obase = np.cumsum(plens) - plens
-    out_cv = np.full(int(plens.sum()), sent_cv, np.int32)
-    rep = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-    pos = obase[rep] + (np.arange(n, dtype=np.int64) - starts[rep])
-    out_cv[pos] = cv
-    out_cu = np.repeat(cu[starts], plens // G).astype(np.int32)
-    return out_cu, out_cv
-
-
-def _merge_count_pallas_grouped(B, Arev, G: int,
-                                interpret: bool = False):
-    """Grouped bitonic-merge counts: B rows are per-pair ascending
-    lists, Arev rows per-GROUP descending lists (one per G pairs,
-    broadcast inside the kernel — VMEM-side, no HBM replication)."""
-    from jax.experimental import pallas as pl
-
-    P = B.shape[0]
-    Tt = min(1024, P)
-    nsub = P // Tt
-
-    def kernel(b_ref, a_ref, y_ref):
-        from jax.experimental.pallas import tpu as pltpu
-        lane = jax.lax.broadcasted_iota(jnp.int32, (Tt, LANES), 1)
-        arep = jnp.broadcast_to(a_ref[...][:, None, :],
-                                (Tt // G, G, LANES)).reshape(Tt, LANES)
-        eq = _bitonic_intersect(
-            b_ref[...], arep,
-            lambda x, s: pltpu.roll(x, shift=s, axis=1), lane)
-        y_ref[...] = eq.reshape(8, Tt // 8, LANES).sum(axis=1)
-
-    return pl.pallas_call(
-        kernel,
-        grid=(nsub,),
-        in_specs=[pl.BlockSpec((Tt, LANES), lambda i: (i, 0)),
-                  pl.BlockSpec((Tt // G, LANES), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((8, LANES), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((nsub * 8, LANES), jnp.int32),
-        interpret=interpret,
-    )(B, Arev)
-
-
-def _make_merge_grouped_run(chunk_g: int, G: int, use_pallas: bool):
-    @jax.jit
-    def run(table, table_rev, cug_d, cv_d, n_real):
-        def body(c, partials):
-            Arev = table_rev[cug_d[c]]          # (chunk_g, 128) desc
-            B = table[cv_d[c]]                  # (chunk_g*G, 128) asc
-            if use_pallas:
-                part = jnp.sum(_merge_count_pallas_grouped(B, Arev, G))
-            else:
-                arep = jnp.broadcast_to(
-                    Arev[:, None, :],
-                    (Arev.shape[0], G, LANES)).reshape(-1, LANES)
-                lane = jax.lax.broadcasted_iota(jnp.int32, B.shape, 1)
-                part = jnp.sum(_bitonic_intersect(
-                    B, arep,
-                    lambda x, s: jnp.roll(x, s, axis=1), lane))
-            return partials.at[c].set(part)
-
-        return jax.lax.fori_loop(
-            0, n_real, body, jnp.zeros((cug_d.shape[0],), jnp.int32))
-    return run
 
 
 def _merge_count_pallas(A, Brev, interpret: bool = False):
@@ -537,35 +434,12 @@ def tc_rotate(g, *, chunk: int = 1 << 13, presorted_dag: bool = False,
         cu, cv = streams[W]
         merge = W >= MERGE_MIN_W
         if merge:
-            # u-grouped stream: ONE shared-A gather per G pairs (the
-            # per-pair A+B chunk-row dispatches were the measured
-            # ~30 M pairs/s floor — VERDICT r3 item 9)
-            G = MERGE_GROUP
-            chunk_g = max(8, chunk // G)
-            cu_g, cv_p = _group_stream(cu, cv, G, sent)
-            run = dag._dev(
-                ("tc_mergeg_run", chunk_g, G, use_pallas),
-                lambda: _make_merge_grouped_run(chunk_g, G,
-                                                use_pallas))
-            glimit = PAIR_SLICE_LIMIT // G
-            for lo in range(0, len(cu_g), glimit):
-                sl = slice(lo, lo + glimit)
-                if lo == 0 and len(cu_g) <= glimit:
-                    cug_d, cv_d, n_steps = dag._dev(
-                        ("tc_mergeg_data", W, chunk_g),
-                        lambda W=W, a=cu_g, b=cv_p: _pack_grouped(
-                            a, b, chunk_g, G, sent))
-                else:
-                    cug_d, cv_d, n_steps = _pack_grouped(
-                        cu_g[sl], cv_p[lo * G:(lo + glimit) * G],
-                        chunk_g, G, sent)
-                out = run(table, table_rev, cug_d, cv_d,
-                          jnp.int32(n_steps))
-                total += int(np.asarray(out).astype(np.int64).sum())
-            continue
-        run = dag._dev(("tc_rot3_run", W, chunk, use_pallas),
-                       lambda W=W: _make_rot_run(W, chunk,
-                                                 use_pallas))
+            run = dag._dev(("tc_merge_run", chunk, use_pallas),
+                           lambda: _make_merge_run(chunk, use_pallas))
+        else:
+            run = dag._dev(("tc_rot3_run", W, chunk, use_pallas),
+                           lambda W=W: _make_rot_run(W, chunk,
+                                                     use_pallas))
         for lo in range(0, len(cu), PAIR_SLICE_LIMIT):
             sl = slice(lo, lo + PAIR_SLICE_LIMIT)
             if lo == 0 and len(cu) <= PAIR_SLICE_LIMIT:
@@ -576,7 +450,11 @@ def tc_rotate(g, *, chunk: int = 1 << 13, presorted_dag: bool = False,
             else:
                 cu_d, cv_d, n_steps = _pack_stream(cu[sl], cv[sl],
                                                    chunk, sent, 0)
-            out = run(table, cu_d, cv_d, jnp.int32(n_steps))
+            if merge:
+                out = run(table, table_rev, cu_d, cv_d,
+                          jnp.int32(n_steps))
+            else:
+                out = run(table, cu_d, cv_d, jnp.int32(n_steps))
             total += int(np.asarray(out).astype(np.int64).sum())
     return total
 
