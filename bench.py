@@ -377,7 +377,10 @@ def bench_kcl(scale: int, k: int = 4):
     from gardenia_tpu.mining.kcl import kcl_solver
     from gardenia_tpu.utils.timer import time_op
     g = get_graph(scale, need_reverse=False)
-    total, secs = time_op(lambda: kcl_solver(g, k), warmup=1, iters=2)
+    # one timed solve beyond warmup at scale >= 18: a mining solve is
+    # minutes there and the host/stream prep is g._dev-cached anyway
+    total, secs = time_op(lambda: kcl_solver(g, k), warmup=1,
+                          iters=2 if scale < 18 else 1)
     mcps = total / secs / 1e6
     return {"metric": f"kcl{k}_mcps_rmat{scale}", "value": round(mcps, 3),
             "unit": "M cliques/s",
@@ -390,7 +393,8 @@ def bench_motif(scale: int, k: int = 4):
     from gardenia_tpu.mining.motif import motif_solver
     from gardenia_tpu.utils.timer import time_op
     g = get_graph(scale, need_reverse=False)
-    census, secs = time_op(lambda: motif_solver(g, k), warmup=1, iters=2)
+    census, secs = time_op(lambda: motif_solver(g, k), warmup=1,
+                           iters=2 if scale < 18 else 1)
     meps = g.nnz / secs / 1e6
     return {"metric": f"motif{k}_meps_rmat{scale}",
             "value": round(meps, 3), "unit": "M edges/s",

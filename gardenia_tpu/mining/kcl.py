@@ -305,7 +305,8 @@ EXPAND_WINS = 64    # chunk windows per device program (bounds program
                     # runtime under the ~2-minute axon worker kill)
 
 
-def _kcl_device(dag, k: int, chunk: int, member_fn, mem_ctx, ctx, deg):
+def _kcl_device(dag, k: int, chunk: int, member_fn, mem_ctx, ctx, deg,
+                edge_lo: int = 0, edge_hi: int = None):
     """Fully device-resident kCL: embeddings never cross the tunnel
     between levels (D2H measured at 8-22 MB/s; the host-loop form spent
     half of kcl-4's RMAT-16 time shipping embedding blocks).  Each
@@ -313,15 +314,24 @@ def _kcl_device(dag, k: int, chunk: int, member_fn, mem_ctx, ctx, deg):
     level's wedge total) then a fill pass compacting into a device
     buffer at a traced offset; the final level rides the batched
     rotation.  Returns None to fall back to the host-slice path when a
-    level's wedge space approaches int32."""
+    level's wedge space approaches int32.
+
+    edge_lo/edge_hi seed only a SLICE of the level-2 (DAG-edge)
+    embeddings: expansion trees are independent per seed, so the caller
+    sums slices — this keeps graphs whose level-2 wedge space exceeds
+    int32 (RMAT-20: 2.47 G) on the device path instead of the
+    host-slice fallback's multi-GB D2H."""
     nnz = dag.nnz
     rowptr_d = ctx[0]
     src = np.repeat(np.arange(dag.m, dtype=np.int32), deg)
+    if edge_hi is None:
+        edge_hi = len(src)
+    src = src[edge_lo:edge_hi]
     e0 = len(src)
     cap0 = LAST_WIN * T.next_pow2(max(1, -(-e0 // LAST_WIN)))
     m0 = np.zeros((2, cap0), np.int32)
     m0[0, :e0] = src
-    m0[1, :e0] = np.asarray(dag.colidx)
+    m0[1, :e0] = np.asarray(dag.colidx)[edge_lo:edge_hi]
     members_d = jnp.asarray(m0)
     count = e0
     total_wedges = int(deg[src].sum())
@@ -426,9 +436,33 @@ def kcl_solver(g, k: int, *, chunk: int = 1 << 18,
     ctx = (rowptr, colidx, mem_ctx)
 
     if member_fn is not None:
-        got = _kcl_device(dag, k, chunk, member_fn, mem_ctx, ctx, deg)
-        if got is not None:
-            return got
+        # slice the level-2 seeds so each slice's wedge space stays
+        # int32 (expansion trees are independent per DAG edge, so the
+        # slice totals sum exactly); one slice = the common case
+        src_all = np.repeat(np.arange(dag.m, dtype=np.int32), deg)
+        cum = np.cumsum(deg[src_all].astype(np.int64))
+        budget = int((2 ** 31) * 0.9)
+        cuts = [0]
+        while cuts[-1] < nnz and cum[-1] > 0:
+            nxt = int(np.searchsorted(
+                cum, (cum[cuts[-1] - 1] if cuts[-1] else 0) + budget,
+                side="right"))
+            cuts.append(max(min(nxt, nnz), cuts[-1] + 1))
+            if cuts[-1] >= nnz:
+                break
+        total_dev = 0
+        ok = True
+        for lo, hi in zip(cuts, cuts[1:] + [nnz]):
+            if lo >= hi:
+                continue
+            got = _kcl_device(dag, k, chunk, member_fn, mem_ctx, ctx,
+                              deg, lo, hi)
+            if got is None:
+                ok = False      # a deeper level tripped the guard
+                break
+            total_dev += got
+        if ok:
+            return total_dev
 
     # level-2 embeddings = DAG edges
     src = np.repeat(np.arange(dag.m, dtype=np.int32), deg)

@@ -353,6 +353,12 @@ def wedge_stream_stats(g, budget_slots: int = 1 << 27):
                 [np.asarray(x, np.int32),
                  np.full(cap - len(x), fill, np.int32)]))
 
+        # device-cache partition uploads only for small partition
+        # counts (repeat solves skip the H2D): at RMAT-20 there are
+        # 48+38 partitions whose padded args would pin several GB of
+        # HBM — those upload per call and free between partitions
+        cache_parts = len(parts) <= 8
+
         def part_dev(i, p):
             def build():
                 seg_args = []
@@ -363,6 +369,8 @@ def wedge_stream_stats(g, budget_slots: int = 1 << 27):
                 return (pad_to(p.ua, e_cap, SENT_KEY),
                         pad_to(p.ub, e_cap, SENT_KEY),
                         pad_to(p.eid, e_cap, n_u), tuple(seg_args))
+            if not cache_parts:
+                return build()
             return g._dev(("wedgestream_dev", budget_slots, i), build)
 
         for i, p in enumerate(parts):
@@ -391,6 +399,8 @@ def wedge_stream_stats(g, budget_slots: int = 1 << 27):
                       lambda: (pad_to(ua, e_cap_q, SENT_KEY),
                                pad_to(ub, e_cap_q, SENT_KEY)))
 
+        cache_qparts = len(qparts) <= 8
+
         def qpart_dev(i, qp):
             def build():
                 seg_args = []
@@ -399,6 +409,8 @@ def wedge_stream_stats(g, budget_slots: int = 1 << 27):
                                  pad_to(bv, cap, 0),
                                  pad_to(ev, cap, n_u)]
                 return tuple(seg_args)
+            if not cache_qparts:
+                return build()
             return g._dev(("wedgestream_qdev", budget_slots, i), build)
 
         for i, qp in enumerate(qparts):

@@ -209,3 +209,27 @@ def test_wedgestream_triangle_free_and_empty():
     c_non, tri_u, _, _ = wedge_stream_stats(g)
     assert c_non == 0          # all codegrees 1 -> no C(1,2) pairs
     assert tri_u.sum() == 0
+
+
+def test_kcl_device_edge_slicing():
+    """Summed edge-slices of the device path equal the whole-graph
+    count (expansion trees are independent per level-2 seed) — the
+    int32-guard slicing used at RMAT-20's 2.47 G-wedge level 2."""
+    from gardenia_tpu.mining.kcl import (_kcl_device, _make_chunk_member,
+                                         kcl_solver)
+    import numpy as np
+    g = random_graph(m=120, avg_deg=14, seed=7, symmetric=True)
+    ref = kcl_solver(g, 4)
+    dag = g.oriented()
+    deg = np.diff(dag.rowptr)
+    member_fn, mem_ctx = _make_chunk_member(dag)
+    rowptr, colidx = dag.device_csr()
+    ctx = (rowptr, colidx, mem_ctx)
+    nnz = dag.nnz
+    total = 0
+    for lo in range(0, nnz, 97):
+        got = _kcl_device(dag, 4, 1 << 10, member_fn, mem_ctx, ctx,
+                          deg, lo, min(lo + 97, nnz))
+        assert got is not None
+        total += got
+    assert total == ref
