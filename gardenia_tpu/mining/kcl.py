@@ -347,8 +347,20 @@ def _kcl_device(dag, k: int, chunk: int, member_fn, mem_ctx, ctx, deg,
             last = dag._dev(
                 ("kcl_last_rot", level, LAST_WIN),
                 lambda: _make_last_level_rotate(dag, level, LAST_WIN))
-            out = last(members_d, jnp.int32(count), mem_ctx)
-            return int(np.asarray(out).astype(np.int64).sum())
+            # <= 2^23 embeddings per device program: the whole-buffer
+            # call ran ~3x the axon worker's ~2-minute kill at a
+            # RMAT-20 slice (~46M triangles); cap is LAST_WIN-pow2-
+            # snapped so every slice shape repeats (one compile)
+            FIN_CH = 1 << 23
+            cap = members_d.shape[1]
+            tot = 0
+            for off in range(0, max(count, 1), FIN_CH):
+                win = members_d[:, off:off + FIN_CH] \
+                    if cap > FIN_CH else members_d
+                out = last(win, jnp.int32(min(count - off, FIN_CH)),
+                           mem_ctx)
+                tot += int(np.asarray(out).astype(np.int64).sum())
+            return tot
         if total_wedges == 0:
             return 0
         if total_wedges >= guard:
@@ -441,7 +453,12 @@ def kcl_solver(g, k: int, *, chunk: int = 1 << 18,
         # slice totals sum exactly); one slice = the common case
         src_all = np.repeat(np.arange(dag.m, dtype=np.int32), deg)
         cum = np.cumsum(deg[src_all].astype(np.int64))
-        budget = int((2 ** 31) * 0.9)
+        # HBM-motivated (not just int32): the device wedge index
+        # materializes two (S,) i32 arrays plus the next level's
+        # members buffer — 2^28 wedges/slice keeps that ~2.5 GB
+        # (a 1.9 G-wedge slice OOM'd the 16 GB HBM at RMAT-20) while
+        # RMAT-16-class graphs stay single-slice
+        budget = 1 << 28
         cuts = [0]
         while cuts[-1] < nnz and cum[-1] > 0:
             nxt = int(np.searchsorted(
