@@ -405,12 +405,32 @@ def bench_motif(scale: int, k: int = 4):
 
 # A100-class stand-ins for the round-4 rows (the reference publishes no
 # tables; order-of-magnitude rates from GPU graph literature so every
-# kernel has a tracked number to optimize against, VERDICT r3 item 5)
-BASELINE_VC_MS_PER_MEDGE = 1.0    # speculative GM coloring, scale-free
-BASELINE_SCC_MS_PER_MEDGE = 1.0   # FB-Trim / color propagation
-BASELINE_MST_MS_PER_MEDGE = 2.0   # GPU Boruvka, ~0.5 G edges/s class
-BASELINE_SYMGS_GFLOPS = 30.0      # color-serialized smoother (< SpMV)
-BASELINE_SGL_MEPS = 100.0         # G2Miner-class diamond listing
+# kernel has a tracked number to optimize against, VERDICT r3 item 5).
+# Per-constant sources (VERDICT r4 item 8):
+# VC: Gunrock's speculative greedy coloring reports ~10-60 ms on
+#   soc-LiveJournal (69M edges) across GPUs (Osama et al., "Graph
+#   Coloring on the GPU", IPDPSW'19, Table 3) -> ~0.5-1 ms/Medge.
+BASELINE_VC_MS_PER_MEDGE = 1.0
+# SCC: Multistep/FB-Trim GPU & manycore SCC reach ~1 G edges/s on
+#   scale-free inputs (Slota, Rajamanickam, Madduri, IPDPS'14, Fig. 7;
+#   Hong, Rodia, Olukotun PPoPP'13 report similar CPU rates).
+BASELINE_SCC_MS_PER_MEDGE = 1.0
+# MST: GPU Boruvka at ~0.2-0.5 G edges/s (Vineet et al., HiPG'09;
+#   Gunrock's MST primitive is in the same range on scale-free graphs).
+BASELINE_MST_MS_PER_MEDGE = 2.0
+# SYMGS: HPCG's color-serialized SymGS sustains roughly half of SpMV's
+#   streaming rate; with cuSPARSE-class SpMV ~55 GF/s on A100 (above),
+#   ~30 GF/s is the smoother-class figure (NVIDIA HPCG reports, e.g.
+#   A100 HPCG ~0.1-0.15 of HPL, SymGS-bound).
+BASELINE_SYMGS_GFLOPS = 30.0
+# SGL: G2Miner lists diamonds on LiveJournal (69M edges) in ~1 s on
+#   V100/A100-class parts (Chen & Arvind, "Efficient and Scalable Graph
+#   Pattern Mining on GPUs", OSDI'22, Table 6) -> ~100 M edges/s.
+BASELINE_SGL_MEPS = 100.0
+# FSM: Pangolin's 2-edge FSM on LiveJournal-class labeled inputs runs
+#   in seconds-to-tens-of-seconds on V100 (Chen et al., VLDB'20,
+#   Table 5) -> ~5-10 M edges/s; 5.0 is the mid-class stand-in.
+BASELINE_FSM_MEPS = 5.0
 
 
 def bench_vc(scale: int):
@@ -510,7 +530,29 @@ def bench_sgl(scale: int, pattern: str = "diamond"):
                        "nnz": g.nnz}}
 
 
+def bench_fsm(scale: int, k: int = 2, minsup: int = 5000):
+    """FSM wall-clock on a degree-bucket-labeled R-MAT (the converter's
+    labeling fallback; the reference's FSM inputs are labeled .ctxt
+    graphs we cannot fetch — zero egress).  gSpan canonicalization is
+    host-side by design (patterns are tiny); embedding expansion and
+    MNI domain counting run on device — detail records the split.
+    Reference contract: mining/fsm/fsm.h:23 (k = max edges, minsup)."""
+    from gardenia_tpu.mining.fsm import fsm_solver
+    from gardenia_tpu.utils.timer import time_op
+    g = get_graph(scale, need_reverse=False)
+    total, secs = time_op(lambda: fsm_solver(g, k, minsup),
+                          warmup=1, iters=1)
+    meps = g.nnz / secs / 1e6
+    return {"metric": f"fsm{k}_minsup{minsup}_meps_rmat{scale}",
+            "value": round(meps, 3), "unit": "M edges/s",
+            "vs_baseline": round(meps / BASELINE_FSM_MEPS, 4),
+            "detail": {"frequent_patterns": int(total), "k": k,
+                       "minsup": minsup, "ms": round(secs * 1e3, 3),
+                       "nnz": g.nnz}}
+
+
 KERNELS = {"pr": bench_pr, "spmv": bench_spmv, "bfs": bench_bfs,
+           "fsm": bench_fsm,
            "msbfs": bench_msbfs, "cc": bench_cc, "tc": bench_tc,
            "bc": bench_bc, "sgd": bench_sgd, "sssp": bench_sssp,
            "kcl": bench_kcl, "motif": bench_motif, "vc": bench_vc,

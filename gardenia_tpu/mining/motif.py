@@ -184,7 +184,19 @@ def motif_solver(g, k: int = 3) -> Dict[str, int]:
     # (edge_triangle_counts) and multi-pass sort (codegree_cycle_quads)
     # remain as the cross-check oracles
     from gardenia_tpu.mining.wedgestream import motif4_aggregates
-    c_non, d_non, tri_v, _ = motif4_aggregates(g)
+    try:
+        c_non, d_non, tri_v, _ = motif4_aggregates(g)
+    except ValueError:
+        # hub-extreme graph: one a-partition overflowed the stream
+        # budget (wedgestream raises instead of asserting — advisor
+        # r4).  Fall back to the host oracles, which have no cap.
+        t = edge_triangle_counts(g).astype(np.int64)[src < dst]
+        c_non = codegree_cycle_quads(g)
+        d_non = int((t * (t - 1) // 2).sum())
+        tri_v = np.zeros(g.m, np.int64)
+        np.add.at(tri_v, src[src < dst], t)
+        np.add.at(tri_v, dst[src < dst], t)
+        tri_v //= 2
     tt_non = int((tri_v * (deg - 2)).sum())
     s_non = int((deg * (deg - 1) * (deg - 2) // 6).sum())
     p_non = int(((deg[src] - 1) * (deg[dst] - 1)).sum()) // 2 - 3 * t3

@@ -247,7 +247,14 @@ def _make_pipeline(padn: int, n_e: int, *seg_ns: int):
         # per live wedge: #wedges before it in its run -> run sums to
         # C(c, 2); with the rank restriction this IS the 4-cycle count
         contrib = jnp.where(live, idx - start - efirst, 0)
-        partials = contrib.reshape(n_blocks, -1).sum(
+        # contrib is the wedge's position in its run (< codegree < 2^31);
+        # a raw BLOCK-sum overflows int32 once a codegree hits 2^18
+        # (advisor r4).  Split into 14-bit halves: hi <= 2^17-1 so an
+        # 8192-slot block sums < 2^30, lo < 2^14 sums < 2^27 — exact for
+        # ANY codegree, recombined in int64 on the host.
+        p_hi = (contrib >> 14).reshape(n_blocks, -1).sum(
+            axis=1, dtype=jnp.int32)
+        p_lo = (contrib & 16383).reshape(n_blocks, -1).sum(
             axis=1, dtype=jnp.int32)
         nb = jnp.concatenate([diff, jnp.ones(1, bool)])
         rend = jnp.flip(jax.lax.cummin(
@@ -256,7 +263,7 @@ def _make_pipeline(padn: int, n_e: int, *seg_ns: int):
         tgt = jnp.where(is_edge, ps, tri.shape[0] - 1)
         tri = tri.at[tgt].set(jnp.where(is_edge, tri_val, 0),
                               mode="drop")
-        return partials, tri
+        return p_hi, p_lo, tri
     return pipe
 
 
@@ -343,9 +350,12 @@ def wedge_stream_stats(g, budget_slots: int = 1 << 27):
                     for p in parts)
         raw = sum(c * w for c, w in zip(seg_caps, SEG_WIDTHS)) + e_cap
         padn = max(BLOCK, 1 << (raw - 1).bit_length())
-        # `packed = idx*2 + tag` in the analyze scan must stay int32
-        assert padn <= 1 << 30, \
-            f"padded stream length {padn} > 2^30 breaks i32 idx*2"
+        # `packed = idx*2 + tag` in the analyze scan must stay int32;
+        # ValueError (not assert) so callers can fall back to the host
+        # oracles and python -O stays loud (advisor r4)
+        if padn > 1 << 30:
+            raise ValueError(
+                f"padded stream length {padn} > 2^30 breaks i32 idx*2")
         pipe = _make_pipeline(padn, e_cap, *seg_caps)
 
         def pad_to(x, cap, fill):
@@ -375,10 +385,11 @@ def wedge_stream_stats(g, budget_slots: int = 1 << 27):
 
         for i, p in enumerate(parts):
             pua, pub, peid, seg_args = part_dev(i, p)
-            partials, tri = pipe(colidx_pad, tri, pua, pub, peid,
-                                 *seg_args)
-            total_pairs += int(np.asarray(partials)
-                               .astype(np.int64).sum())
+            p_hi, p_lo, tri = pipe(colidx_pad, tri, pua, pub, peid,
+                                   *seg_args)
+            total_pairs += (
+                (int(np.asarray(p_hi).astype(np.int64).sum()) << 14)
+                + int(np.asarray(p_lo).astype(np.int64).sum()))
 
     # MISS pass: + t_miss(e) per edge via the presence sort-join
     if qparts:
@@ -387,7 +398,9 @@ def wedge_stream_stats(g, budget_slots: int = 1 << 27):
         e_cap_q = _padlen(n_u)
         rawq = sum(c * w for c, w in zip(qcaps, SEG_WIDTHS)) + e_cap_q
         padq = max(BLOCK, 1 << (rawq - 1).bit_length())
-        assert padq <= 1 << 30
+        if padq > 1 << 30:
+            raise ValueError(
+                f"padded query stream length {padq} > 2^30 breaks i32")
         qpipe = _make_qpipe(padq, e_cap_q, *qcaps)
 
         def pad_to(x, cap, fill):

@@ -211,6 +211,27 @@ def test_wedgestream_triangle_free_and_empty():
     assert tri_u.sum() == 0
 
 
+def test_wedgestream_big_codegree_no_overflow():
+    """A codegree >= 2^18 made the old int32 BLOCK partial sums overflow
+    (advisor r4): two hubs sharing 262,400 leaves.  The 14-bit hi/lo
+    split must return the exact C(codeg, 2) in int64."""
+    import gardenia_tpu.core.build as build
+    from gardenia_tpu.core.graph import Graph
+    from gardenia_tpu.mining.wedgestream import wedge_stream_stats
+    codeg = (1 << 18) + 256
+    leaves = np.arange(2, 2 + codeg, dtype=np.int64)
+    src = np.concatenate([np.zeros(codeg, np.int64),
+                          np.ones(codeg, np.int64)])
+    dst = np.concatenate([leaves, leaves])
+    src, dst = (np.concatenate([src, dst]), np.concatenate([dst, src]))
+    rp, ci, _ = build.coo_to_csr(2 + codeg, src, dst, None,
+                                 sorted_by_src=False)
+    g = Graph(rp, ci, None, num_cols=2 + codeg, symmetric=True)
+    c_non, tri_u, _, _ = wedge_stream_stats(g)
+    assert c_non == codeg * (codeg - 1) // 2   # 34,426,650,880 > 2^31
+    assert tri_u.sum() == 0                    # no hub-hub edge
+
+
 def test_kcl_device_edge_slicing():
     """Summed edge-slices of the device path equal the whole-graph
     count (expansion trees are independent per level-2 seed) — the
