@@ -32,9 +32,15 @@ def fsm_solver(g, k: int = 2, minsup: int = 2,
     column_indices, labels, total) (mining/fsm/fsm.h:23).  g symmetric;
     labels default to g.vlabels, else degree-bucket synthetic labels
     (deterministic), matching the converter's labeling fallback."""
-    from gardenia_tpu.mining.gspan import fsm_gspan
     if k < 1:
         return 0
+    if k <= 2:
+        # embedding-free aggregate MNI (mining/fsm_agg.py): 3 batched
+        # hybrid SpMV passes instead of a ~1e8-column wedge frontier —
+        # the path that makes FSM run at RMAT-20 (gSpan caps at ~rmat12)
+        from gardenia_tpu.mining.fsm_agg import fsm_k2_aggregate
+        return fsm_k2_aggregate(g, k, minsup, labels)
+    from gardenia_tpu.mining.gspan import fsm_gspan
     return fsm_gspan(g, k, minsup, labels)
 
 

@@ -60,6 +60,35 @@ def test_fsm_random(k, minsup):
         fsm_verifier(g, k, minsup, labels)
 
 
+@pytest.mark.parametrize("seed,nlabels,minsup",
+                         [(1, 2, 2), (2, 3, 3), (3, 4, 5), (4, 1, 2),
+                          (5, 3, 8)])
+def test_fsm_aggregate_vs_gspan_and_bruteforce(seed, nlabels, minsup):
+    """The embedding-free aggregate engine (mining/fsm_agg.py) equals
+    both the gSpan engine and the brute-force MNI oracle for k in
+    {1, 2} across label alphabets and support thresholds."""
+    from gardenia_tpu.mining.fsm import fsm_verifier
+    from gardenia_tpu.mining.fsm_agg import fsm_k2_aggregate
+    from gardenia_tpu.mining.gspan import fsm_gspan
+    g = random_graph(m=40, avg_deg=5, seed=seed, symmetric=True)
+    labels = np.random.default_rng(seed).integers(0, nlabels, g.m)
+    for k in (1, 2):
+        agg = fsm_k2_aggregate(g, k, minsup, labels)
+        assert agg == fsm_gspan(g, k, minsup, labels)
+        assert agg == fsm_verifier(g, k, minsup, labels)
+
+
+def test_fsm_aggregate_default_labels():
+    """Degree-bucket default labels give the same answer through both
+    engines (the bench/CLI configuration)."""
+    from gardenia_tpu.mining.fsm_agg import fsm_k2_aggregate
+    from gardenia_tpu.mining.gspan import fsm_gspan
+    g = random_graph(m=60, avg_deg=6, seed=23, symmetric=True)
+    for minsup in (2, 10, 40):
+        assert fsm_k2_aggregate(g, 2, minsup) == \
+            fsm_gspan(g, 2, minsup)
+
+
 @pytest.mark.parametrize("k,minsup", [(4, 2), (4, 3), (5, 3)])
 def test_fsm_k4plus(k, minsup):
     """gSpan pattern growth beyond 3 edges (round-1 gap: the old
