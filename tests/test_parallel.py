@@ -206,15 +206,40 @@ def test_cc_dist_matches_oracle(mesh, balance):
         assert lbl == np.flatnonzero(comp == lbl).min()
 
 
-def test_bc_dist_matches_single(mesh):
+@pytest.mark.parametrize("layout", ["coo", "hybrid"])
+def test_bc_dist_matches_single(mesh, layout):
+    """Both the segment-sum and the production hybrid-panel dist BC
+    match the single-chip batched Brandes (round 5: dist BC pulls ride
+    ops/bsr.spmv_hybrid_batched)."""
     from gardenia_tpu.solvers.bc import bc_batched
     g = random_graph(m=120, avg_deg=6, seed=2, symmetric=True)
     sources = (np.arange(16) * 7) % g.m
-    d = bc_batched_dist(g, sources, mesh=mesh)
+    d = bc_batched_dist(g, sources, mesh=mesh, layout=layout)
     s = bc_batched(g, sources)
     assert int(d.iterations) == int(s.iterations)
     np.testing.assert_allclose(np.asarray(d.scores),
                                np.asarray(s.scores), atol=1e-5)
+
+
+@pytest.mark.parametrize("layout", ["ell", "hybrid"])
+def test_sssp_cc_spmv_dist_layouts(mesh, layout):
+    """The round-5 stacked-hybrid dist paths and the retained ELL slab
+    paths agree with the serial oracles on one weighted graph."""
+    g = random_graph(m=170, avg_deg=7, seed=13, weighted=True)
+    res = sssp_solver_dist(g, 2, mesh=mesh, layout=layout)
+    np.testing.assert_array_equal(np.asarray(res.dist),
+                                  oracles.sssp_serial(g, 2))
+    y = spmv_solver_dist(g, mesh=mesh, layout=layout)
+    expect = oracles.spmv_serial(g, np.asarray(g.weights, np.float32),
+                                 np.full(g.n, 0.3, np.float32))
+    # 2e-5: the hybrid dense panels' split-bf16 operand is exact to
+    # ~2^-16 relative (ops/bsr.py numerics contract); ell is f32-exact
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=2e-5,
+                               atol=1e-6)
+    gs = random_graph(m=170, avg_deg=3, seed=14, symmetric=True)
+    comp = np.asarray(cc_solver_dist(gs, mesh=mesh, layout=layout).comp)
+    expect_c = oracles.cc_serial(gs)
+    np.testing.assert_array_equal(comp, expect_c)
 
 
 @pytest.mark.parametrize("balance", ["vertices", "edges"])
@@ -223,7 +248,9 @@ def test_spmv_dist_matches_oracle(mesh, balance):
     y = spmv_solver_dist(g, mesh=mesh, balance=balance)
     expect = oracles.spmv_serial(g, np.asarray(g.weights, np.float32),
                                  np.full(g.n, 0.3, np.float32))
-    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-5,
+    # 2e-5: the production hybrid panels' split-bf16 operand is exact
+    # to ~2^-16 relative (ops/bsr.py numerics contract)
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=2e-5,
                                atol=1e-6)
 
 
