@@ -97,7 +97,8 @@ def _make_chunk_member(dag):
     return member, (table, cstart, nchunk)
 
 
-def _make_last_level_rotate(dag, n_members: int, window: int = 1 << 12):
+def _make_last_level_rotate(dag, n_members: int, window: int = 1 << 12,
+                            max_chunks_cap: int = None):
     """Final-level clique counting by lane rotation — the kCL analog of
     tc_rotate: per embedding (v1..v_l), count
     |N+(v1) ∩ N+(v2) ∩ ... ∩ N+(v_l)| by gathering each member's
@@ -109,8 +110,16 @@ def _make_last_level_rotate(dag, n_members: int, window: int = 1 << 12):
     The windows loop DEVICE-SIDE: one jit call covers the whole
     embedding slice — round 3 found the old one-call-per-4096-embeddings
     form spending 90 of kcl-4's 235 s at RMAT-16 on ~3800 tunnel round
-    trips (23.5 ms each), not on compute."""
+    trips (23.5 ms each), not on compute.
+
+    max_chunks_cap (round 5, the TC width-classing trick applied to the
+    final level): a static bound on BOTH chunk loops for windows whose
+    embeddings all have <= cap adjacency chunks — class-1 windows (every
+    member's N+ fits one 128-wide chunk, the common case on the DAG) run
+    1x1x128 rotations per member instead of max_chunks^2 x 128."""
     _, _, _, max_chunks, sent = _chunk_member_data(dag)
+    if max_chunks_cap is not None:
+        max_chunks = min(max_chunks, max_chunks_cap)
 
     @jax.jit
     def run(members, nvalid, mem_ctx):
@@ -153,6 +162,36 @@ def _make_last_level_rotate(dag, n_members: int, window: int = 1 << 12):
                                  jnp.zeros((n_w,), jnp.int32))
 
     return run
+
+
+def _make_class_sort(dag, n_members: int):
+    """Device sort of final-level embedding columns by rotation class
+    (pow2 ceiling of the max adjacency chunk count over all members;
+    invalid columns sort last).  Only the tiny per-class count vector
+    crosses to the host, so the classed final level costs one device
+    sort + column gather on top of the rotation it shrinks."""
+    _, _, _, max_chunks, _ = _chunk_member_data(dag)
+    n_classes = max(1, (max_chunks - 1).bit_length() + 1)
+
+    @jax.jit
+    def srt(members, nvalid, mem_ctx):
+        from gardenia_tpu.ops import rowsel
+        _, _, nchunk = mem_ctx
+        cap = members.shape[1]
+        nc = rowsel.take(nchunk, members[0])
+        for i in range(1, n_members):
+            nc = jnp.maximum(nc, rowsel.take(nchunk, members[i]))
+        idx = jnp.zeros(cap, jnp.int32)
+        for b in range(n_classes - 1):
+            idx = idx + (nc > (1 << b)).astype(jnp.int32)
+        valid = jnp.arange(cap, dtype=jnp.int32) < nvalid
+        key = jnp.where(valid, idx, n_classes)
+        _, perm = jax.lax.sort_key_val(key,
+                                       jnp.arange(cap, dtype=jnp.int32))
+        counts = jnp.zeros(n_classes + 1, jnp.int32).at[key].add(1)
+        return jnp.take(members, perm, axis=1), counts[:n_classes]
+
+    return srt, n_classes
 
 
 @partial(jax.jit, static_argnames=("S",))
@@ -344,22 +383,48 @@ def _kcl_device(dag, k: int, chunk: int, member_fn, mem_ctx, ctx, deg,
     # cumsum below before any masking depends on it
     for level in range(2, k):
         if level == k - 1:
-            last = dag._dev(
-                ("kcl_last_rot", level, LAST_WIN),
-                lambda: _make_last_level_rotate(dag, level, LAST_WIN))
+            if count == 0:
+                return 0
+            # round 5: class embeddings by max member chunk count and
+            # run a class-specialized rotation per contiguous range —
+            # class-1 windows (every member's N+ in one 128-chunk, the
+            # common case) do 1/max_chunks^2 of the rotation work
+            srt, _ = dag._dev(("kcl_cls_sort", level),
+                              lambda: _make_class_sort(dag, level))
+            members_s, counts = srt(members_d, jnp.int32(count),
+                                    mem_ctx)
+            counts = np.asarray(counts)
             # <= 2^23 embeddings per device program: the whole-buffer
             # call ran ~3x the axon worker's ~2-minute kill at a
-            # RMAT-20 slice (~46M triangles); cap is LAST_WIN-pow2-
-            # snapped so every slice shape repeats (one compile)
+            # RMAT-20 slice (~46M triangles); slice shapes pow2-snap in
+            # LAST_WIN units so they repeat across calls (one compile
+            # per (class, shape)); FIN_CH column padding keeps every
+            # dynamic_slice in-bounds without start clamping
             FIN_CH = 1 << 23
-            cap = members_d.shape[1]
+            members_s = jnp.concatenate(
+                [members_s,
+                 jnp.zeros((level, min(FIN_CH, members_s.shape[1])),
+                           jnp.int32)], axis=1)
             tot = 0
-            for off in range(0, max(count, 1), FIN_CH):
-                win = members_d[:, off:off + FIN_CH] \
-                    if cap > FIN_CH else members_d
-                out = last(win, jnp.int32(min(count - off, FIN_CH)),
-                           mem_ctx)
-                tot += int(np.asarray(out).astype(np.int64).sum())
+            off = 0
+            for ci_, cnt in enumerate(counts):
+                cnt = int(cnt)
+                if cnt == 0:
+                    continue
+                mc = 1 << ci_
+                last = dag._dev(
+                    ("kcl_last_rot", level, LAST_WIN, mc),
+                    lambda mc=mc: _make_last_level_rotate(
+                        dag, level, LAST_WIN, mc))
+                for o2 in range(off, off + cnt, FIN_CH):
+                    n = min(off + cnt - o2, FIN_CH)
+                    npad = LAST_WIN * T.next_pow2(-(-n // LAST_WIN))
+                    npad = min(npad, members_s.shape[1] - o2)
+                    win = jax.lax.dynamic_slice(
+                        members_s, (0, o2), (level, npad))
+                    out = last(win, jnp.int32(n), mem_ctx)
+                    tot += int(np.asarray(out).astype(np.int64).sum())
+                off += cnt
             return tot
         if total_wedges == 0:
             return 0
