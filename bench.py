@@ -396,11 +396,13 @@ def bench_motif(scale: int, k: int = 4):
     census, secs = time_op(lambda: motif_solver(g, k), warmup=1,
                            iters=2 if scale < 18 else 1)
     meps = g.nnz / secs / 1e6
+    from gardenia_tpu.mining.wedgestream import LAST_TIMINGS
     return {"metric": f"motif{k}_meps_rmat{scale}",
             "value": round(meps, 3), "unit": "M edges/s",
             "vs_baseline": round(meps / BASELINE_MOTIF4_MEPS, 4),
             "detail": {"census": {nm: int(v) for nm, v in census.items()},
-                       "ms": round(secs * 1e3, 3), "nnz": g.nnz}}
+                       "ms": round(secs * 1e3, 3), "nnz": g.nnz,
+                       "wedge_stream": dict(LAST_TIMINGS)}}
 
 
 # A100-class stand-ins for the round-4 rows (the reference publishes no
@@ -540,6 +542,9 @@ def bench_fsm(scale: int, k: int = 2, minsup: int = 5000):
     from gardenia_tpu.mining.fsm import fsm_solver
     from gardenia_tpu.utils.timer import time_op
     g = get_graph(scale, need_reverse=False)
+    # the aggregate engine rides the relabeled hybrid — reuse the
+    # disk-cached layout (fresh host build is ~80 min at scale 20)
+    warm_hybrid(g, scale)
     total, secs = time_op(lambda: fsm_solver(g, k, minsup),
                           warmup=1, iters=1)
     meps = g.nnz / secs / 1e6

@@ -318,6 +318,13 @@ def _padlen(n):
     return 1 << (max(n, 1) - 1).bit_length()
 
 
+# wall-clock of the last wedge_stream_stats call's two passes (the
+# round-5 scale-20 demo names the next bottleneck from these): filled
+# with {"main_s", "miss_s", "n_parts", "n_qparts", "pad_main",
+# "pad_miss"} after every call
+LAST_TIMINGS = {}
+
+
 def wedge_stream_stats(g, budget_slots: int = 1 << 27):
     """Returns (c_non, tri_u, ua, ub): the number of non-induced
     4-cycles (= sum_{a<b} C(codeg(a,b), 2) / 2) and FULL per-undirected-
@@ -339,6 +346,10 @@ def wedge_stream_stats(g, budget_slots: int = 1 << 27):
                         np.zeros(128, np.int32)])))
     tri = jnp.zeros(n_u + 1, jnp.int32)
     total_pairs = 0
+    import time as _time
+    LAST_TIMINGS.clear()
+    LAST_TIMINGS.update(n_parts=len(parts), n_qparts=len(qparts))
+    _t0 = _time.time()
 
     # ONE shape signature across partitions (pad to the per-component
     # max): the axon remote compiler takes minutes per signature
@@ -391,6 +402,13 @@ def wedge_stream_stats(g, budget_slots: int = 1 << 27):
                 (int(np.asarray(p_hi).astype(np.int64).sum()) << 14)
                 + int(np.asarray(p_lo).astype(np.int64).sum()))
 
+    # the main loop's per-partition partial D2H already syncs, so wall
+    # time is honest
+    LAST_TIMINGS["main_s"] = round(_time.time() - _t0, 3)
+    if parts:
+        LAST_TIMINGS["pad_main"] = padn
+    _t0 = _time.time()
+
     # MISS pass: + t_miss(e) per edge via the presence sort-join
     if qparts:
         qcaps = [max((_padlen(len(qp[i][0])) if len(qp[i][0]) else 0)
@@ -430,7 +448,10 @@ def wedge_stream_stats(g, budget_slots: int = 1 << 27):
             tri = qpipe(colidx_pad, tri, pres[0], pres[1],
                         *qpart_dev(i, qp))
 
-    tri_u = np.asarray(tri)[:n_u]
+    tri_u = np.asarray(tri)[:n_u]        # D2H sync closes the miss pass
+    LAST_TIMINGS["miss_s"] = round(_time.time() - _t0, 3)
+    if qparts:
+        LAST_TIMINGS["pad_miss"] = padq
     return total_pairs, tri_u, None, None
 
 
