@@ -85,6 +85,29 @@ timed("pre_round_r1 (with ld gather)",
           0, REPS, lambda i, c: pre_round(c, rp_, ci_, False), c),
       comp0, rp, ci)
 
+# round-5 forms: host-precomputed partner vectors; round 0 exploits
+# identity labels (no gather, second hook elementwise)
+_rp_h = np.asarray(g.rowptr, np.int64)
+_ci_h = np.asarray(g.colidx, np.int64)
+_deg_h = np.diff(_rp_h)
+_vid_h = np.arange(m, dtype=np.int64)
+_parts = [jnp.asarray(np.where(_deg_h > r,
+                               _ci_h[np.minimum(_rp_h[:m] + r, nnz - 1)],
+                               _vid_h).astype(np.int32))
+          for r in range(2)]
+
+timed("pre_round0_identity (r5)",
+      lambda c, p0: jax.lax.fori_loop(
+          0, REPS,
+          lambda i, c: jnp.minimum(c.at[p0].min(c, mode="drop"), p0),
+          c), comp0, _parts[0])
+timed("pre_round1_precomp (r5)",
+      lambda c, p1: jax.lax.fori_loop(
+          0, REPS,
+          lambda i, c: (lambda ld: c.at[ld].min(c, mode="drop")
+                        .at[c].min(ld, mode="drop"))(rowsel.take(c, p1)),
+          c), comp0, _parts[1])
+
 # ---- hybrid panel ops -----------------------------------------------------
 bench.warm_hybrid(g, scale)
 from gardenia_tpu.core.relabel import relabeled
