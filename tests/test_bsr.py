@@ -45,6 +45,40 @@ def test_spmv_hybrid_matches_oracle(m, deg, weighted, thr):
     assert np.abs(y - exp).max() / scale < 2e-4
 
 
+@pytest.mark.parametrize("m,deg,thr,uniform", [
+    (97, 8, 4, False),      # int weight panels + remainder
+    (300, 12, 8, False),
+    (150, 9, 4, True),      # uniform weights -> scale-factored counts
+    (40, 2, 64, False),     # remainder only
+])
+def test_spmv_hybrid_min_plus_matches_oracle(m, deg, thr, uniform):
+    """Round-5 min-plus masked reduce (dist SSSP relax) == the NumPy
+    min-plus oracle, across weight-panel dtypes and the scale-factored
+    uniform-weight layout."""
+    from gardenia_tpu.core import types as T
+    from gardenia_tpu.ops.bsr import spmv_hybrid_min_plus
+    rng = np.random.default_rng(m)
+    g = random_graph(m=m, avg_deg=deg, seed=m + 1, weighted=True,
+                     symmetric=True)
+    w = np.full(g.nnz, 3.0, np.float32) if uniform \
+        else np.round(np.asarray(g.weights, np.float32))
+    hyb = build_hybrid(g.rowptr, g.colidx, w, num_cols=g.n,
+                       dense_threshold=thr)
+    INF = np.int32(T.MYINFINITY)
+    x = rng.integers(0, 100, g.n).astype(np.int32)
+    x[rng.random(g.n) < 0.3] = INF     # unreached sentinel values
+    import jax.numpy as jnp
+    y = np.asarray(spmv_hybrid_min_plus(hyb, jnp.asarray(x),
+                                        num_rows=g.m,
+                                        sentinel=int(INF)))
+    # exact: min-plus is integer arithmetic end to end (INF + w < 2^31)
+    exp = np.full(g.m, INF, np.int64)
+    src = np.repeat(np.arange(g.m), np.diff(g.rowptr))
+    np.minimum.at(exp, src, x[g.colidx].astype(np.int64)
+                  + w.astype(np.int64))
+    np.testing.assert_array_equal(y.astype(np.int64), exp)
+
+
 def test_spmv_hybrid_init_accumulates():
     g = random_graph(m=50, avg_deg=4, seed=2, symmetric=True)
     hyb = build_hybrid(g.rowptr, g.colidx, None, num_cols=g.n,
