@@ -221,6 +221,27 @@ def test_bc_dist_matches_single(mesh, layout):
                                np.asarray(s.scores), atol=1e-5)
 
 
+def test_symgs_dist_matches_single(mesh):
+    """Round-5 distributed SymGS (color-masked sweeps over stacked
+    hybrid panels) matches the single-chip smoother on the same
+    synthetic system and coloring."""
+    from gardenia_tpu.parallel import symgs_solver_dist
+    from gardenia_tpu.solvers.symgs import symgs_solver
+    from gardenia_tpu.solvers.vc import vc_solver
+    g = random_graph(m=180, avg_deg=6, seed=21, symmetric=True)
+    rng = np.random.default_rng(7)
+    Ax = rng.random(g.nnz).astype(np.float32)
+    x0 = rng.random(g.m).astype(np.float32)
+    b = rng.random(g.m).astype(np.float32)
+    diag = (g.degrees + 1).astype(np.float32)
+    colors = np.asarray(vc_solver(g).colors)
+    d = symgs_solver_dist(g, Ax, x0, b, diag, colors, mesh=mesh)
+    s = symgs_solver(g, Ax, x0, b, diag, colors)
+    assert d.num_colors == s.num_colors
+    np.testing.assert_allclose(np.asarray(d.x), np.asarray(s.x),
+                               rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("layout", ["ell", "hybrid"])
 def test_sssp_cc_spmv_dist_layouts(mesh, layout):
     """The round-5 stacked-hybrid dist paths and the retained ELL slab
