@@ -89,6 +89,20 @@ def test_fsm_aggregate_default_labels():
             fsm_gspan(g, 2, minsup)
 
 
+def test_fsm_aggregate_rmat_skew():
+    """Graph500-skewed R-MAT (hubs -> low-label degree buckets, big
+    wedge counts) through both engines — the shape class the aggregate
+    path exists for (fsm at RMAT-20 in the bench)."""
+    from gardenia_tpu.core.generate import generate_graph
+    from gardenia_tpu.mining.fsm_agg import fsm_k2_aggregate
+    from gardenia_tpu.mining.gspan import fsm_gspan
+    g = generate_graph("rmat", scale=9, degree=8, symmetrize=True,
+                       need_reverse=False)
+    for minsup in (2, 30, 200):
+        assert fsm_k2_aggregate(g, 2, minsup) == \
+            fsm_gspan(g, 2, minsup)
+
+
 @pytest.mark.parametrize("k,minsup", [(4, 2), (4, 3), (5, 3)])
 def test_fsm_k4plus(k, minsup):
     """gSpan pattern growth beyond 3 edges (round-1 gap: the old
