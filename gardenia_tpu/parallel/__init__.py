@@ -11,10 +11,11 @@ from gardenia_tpu.parallel.cc import cc_solver_dist
 from gardenia_tpu.parallel.bc import bc_batched_dist
 from gardenia_tpu.parallel.spmv import spmv_solver_dist
 from gardenia_tpu.parallel.symgs import symgs_solver_dist
+from gardenia_tpu.parallel.mst import mst_solver_dist
 
 __all__ = ["ShardedEll", "partition_ell_1d", "make_mesh",
            "pr_solver_dist", "bfs_solver_dist",
            "bfs_multi_source_dist", "tc_solver_dist",
            "sgd_train_dist", "make_dist_sgd_step", "vc_solver_dist",
            "scc_solver_dist", "sssp_solver_dist", "cc_solver_dist",
-           "bc_batched_dist", "spmv_solver_dist", "symgs_solver_dist"]
+           "bc_batched_dist", "spmv_solver_dist", "symgs_solver_dist", "mst_solver_dist"]

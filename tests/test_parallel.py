@@ -221,6 +221,26 @@ def test_bc_dist_matches_single(mesh, layout):
                                np.asarray(s.scores), atol=1e-5)
 
 
+def test_mst_dist_matches_single_and_oracle(mesh):
+    """Round-5 edge-sharded Boruvka (pmin-merged min tables): the
+    distributed total weight equals both the single-chip solver and
+    the serial Kruskal oracle."""
+    from gardenia_tpu.core.graph import Graph
+    from gardenia_tpu.parallel import mst_solver_dist
+    from gardenia_tpu.solvers.mst import mst_solver
+    base = random_graph(m=160, avg_deg=6, seed=17, symmetric=True)
+    src = np.repeat(np.arange(base.m), np.diff(base.rowptr))
+    dst = np.asarray(base.colidx)
+    lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+    w = ((lo * 2654435761 + hi * 40503) % 97 + 1).astype(np.float64)
+    g = Graph(base.rowptr, base.colidx, w, num_cols=base.n,
+              symmetric=True)
+    d = mst_solver_dist(g, mesh=mesh)
+    s = mst_solver(g)
+    assert float(d.total_weight) == float(s.total_weight)
+    assert float(d.total_weight) == oracles.mst_total_weight(g)
+
+
 def test_symgs_dist_matches_single(mesh):
     """Round-5 distributed SymGS (color-masked sweeps over stacked
     hybrid panels) matches the single-chip smoother on the same
