@@ -37,77 +37,127 @@ class MSTResult(NamedTuple):
     comp: jax.Array           # final components (forest roots)
 
 
+# per-edge rowsel gathers materialize a (chunk, 128) row table; 2^22
+# slots bounds that at 2 GB — the unchunked per-edge takes OOM'd the
+# 16 GB HBM at RMAT-20 (s32[31.4M, 128] = 15 GB; same class as the
+# round-5 vc finding)
+MST_EDGE_CHUNK = 1 << 22
+
+
 def mst_solver(g) -> MSTResult:
     """g: symmetrized weighted graph (reference loads with symmetrize=1,
     main.cu:171). Unweighted graphs get unit weights (spanning forest)."""
+    from gardenia_tpu.core import types as T
     m, nnz = g.m, g.nnz
-    src, dst = g.device_coo()
-    w = g.device_weights()
-    if w is None:
-        w = jnp.ones((nnz,), jnp.float32)
-    wi = w.astype(jnp.int32)   # integral WeightT (common.h:46)
-    eid = jnp.arange(nnz, dtype=jnp.int32)
-    # canonical undirected edge id, identical for (u,v) and (v,u): the
-    # global tie-break making per-component minima a total order (no
-    # equal-weight cycles; the reference's verify_min_elem plays this role)
-    s_h = np.repeat(np.arange(m), np.diff(g.rowptr))
-    d_h = np.asarray(g.colidx)
-    pair = np.stack([np.minimum(s_h, d_h), np.maximum(s_h, d_h)], axis=1)
-    _, cid_h = np.unique(pair, axis=0, return_inverse=True)
-    cid = jnp.asarray(cid_h.astype(np.int32))
+    n_ch = max(1, -(-nnz // MST_EDGE_CHUNK))
+    CH = min(MST_EDGE_CHUNK, T.next_pow2(max(nnz, T.LANES)))
 
-    def run():
+    def up():
+        s_h = np.repeat(np.arange(m, dtype=np.int32), np.diff(g.rowptr))
+        d_h = np.asarray(g.colidx, np.int32)
+        w_h = np.ones(nnz, np.float32) if g.weights is None else \
+            np.asarray(g.weights, np.float32)
+        # canonical undirected edge id, identical for (u,v) and (v,u):
+        # the global tie-break making per-component minima a total
+        # order (the reference's verify_min_elem plays this role)
+        pair = np.stack([np.minimum(s_h, d_h), np.maximum(s_h, d_h)],
+                        axis=1)
+        _, cid_h = np.unique(pair, axis=0, return_inverse=True)
+        pad = n_ch * CH - nnz
+
+        def padded(a, fill, dtype):
+            return jnp.asarray(np.concatenate(
+                [a.astype(dtype), np.full(pad, fill, dtype)]))
+
+        # sentinel edges (0, 0): cs == cd, never cross
+        return (padded(s_h, 0, np.int32), padded(d_h, 0, np.int32),
+                padded(w_h, _INT_MAX, np.int32),
+                padded(cid_h, _INT_MAX, np.int32),
+                padded(np.arange(nnz), nnz, np.int32))
+
+    src, dst, wi, cid, eid = g._dev(("mst_coo_pad", CH), up)
+
+    def run(src, dst, wi, cid, eid):
+        from gardenia_tpu.ops import rowsel
+
+        def sl(a, i):
+            return jax.lax.dynamic_slice(a, (i * CH,), (CH,))
+
         def cond(state):
-            _, _, changed = state
-            return changed
+            return state[2]
 
         def body(state):
             comp, chosen, _ = state
-            from gardenia_tpu.ops import rowsel
-            cs = rowsel.take(comp, src)
-            cd = rowsel.take(comp, dst)
-            cross = cs != cd
+
             # 1) min weight per component
-            key = jnp.where(cross, cs, m)
-            minw = jnp.full((m,), _INT_MAX, jnp.int32).at[key].min(
-                jnp.where(cross, wi, _INT_MAX), mode="drop")
-            # 2) tie-break: min canonical edge id among weight-matching
-            # edges, then a concrete edge index for that canonical id
-            hit1 = cross & (wi == rowsel.take(minw, jnp.minimum(cs, m - 1)))
-            mincid = jnp.full((m,), _INT_MAX, jnp.int32).at[
-                jnp.where(hit1, cs, m)].min(
-                jnp.where(hit1, cid, _INT_MAX), mode="drop")
-            hit = hit1 & (cid == rowsel.take(mincid,
-                                             jnp.minimum(cs, m - 1)))
-            mine = jnp.full((m,), nnz, jnp.int32).at[
-                jnp.where(hit, cs, m)].min(eid, mode="drop")
-            has = mine < nnz
-            e = jnp.minimum(mine, nnz - 1)
-            chosen = chosen.at[jnp.where(has, e, nnz)].set(
-                True, mode="drop")
-            # 3) union: hook the chosen edge's endpoints' roots
-            ls = comp[src[e]]
-            ld = comp[dst[e]]
-            ls = jnp.where(has, ls, m)
-            ld_safe = jnp.where(has, ld, 0)
-            comp2 = comp.at[jnp.minimum(ls, m - 1)].min(
-                jnp.where(has, ld_safe, _INT_MAX), mode="drop")
-            comp2 = comp2.at[jnp.where(has, ld, m)].min(
-                jnp.where(has, comp[jnp.minimum(ls, m - 1)], _INT_MAX),
-                mode="drop")
-            comp2 = pointer_jump(comp2)
+            def c1(i, minw):
+                cs = rowsel.take(comp, sl(src, i))
+                cd = rowsel.take(comp, sl(dst, i))
+                cross = cs != cd
+                return minw.at[jnp.where(cross, cs, m)].min(
+                    jnp.where(cross, sl(wi, i), _INT_MAX), mode="drop")
+
+            minw = jax.lax.fori_loop(
+                0, n_ch, c1, jnp.full((m,), _INT_MAX, jnp.int32))
+
+            # 2) tie-break: min canonical edge id among weight matches
+            def c2(i, mincid):
+                cs = rowsel.take(comp, sl(src, i))
+                cd = rowsel.take(comp, sl(dst, i))
+                hit1 = (cs != cd) & (sl(wi, i) == rowsel.take(
+                    minw, jnp.minimum(cs, m - 1)))
+                return mincid.at[jnp.where(hit1, cs, m)].min(
+                    jnp.where(hit1, sl(cid, i), _INT_MAX), mode="drop")
+
+            mincid = jax.lax.fori_loop(
+                0, n_ch, c2, jnp.full((m,), _INT_MAX, jnp.int32))
+
+            # 3) one concrete edge id per component
+            def c3(i, mine):
+                cs = rowsel.take(comp, sl(src, i))
+                cd = rowsel.take(comp, sl(dst, i))
+                cs_c = jnp.minimum(cs, m - 1)
+                hit = (cs != cd) & \
+                    (sl(wi, i) == rowsel.take(minw, cs_c)) & \
+                    (sl(cid, i) == rowsel.take(mincid, cs_c))
+                return mine.at[jnp.where(hit, cs, m)].min(
+                    jnp.where(hit, sl(eid, i), nnz), mode="drop")
+
+            mine = jax.lax.fori_loop(
+                0, n_ch, c3, jnp.full((m,), nnz, jnp.int32))
+
+            # 4) mark chosen edges, hook their endpoints' roots
+            def c4(i, carry):
+                chosen, hooked = carry
+                cs = rowsel.take(comp, sl(src, i))
+                cd = rowsel.take(comp, sl(dst, i))
+                cs_c = jnp.minimum(cs, m - 1)
+                hit = (cs != cd) & \
+                    (sl(wi, i) == rowsel.take(minw, cs_c)) & \
+                    (sl(cid, i) == rowsel.take(mincid, cs_c))
+                sel = hit & (sl(eid, i) == rowsel.take(mine, cs_c))
+                old = jax.lax.dynamic_slice(chosen, (i * CH,), (CH,))
+                chosen = jax.lax.dynamic_update_slice(
+                    chosen, old | sel, (i * CH,))
+                hooked = hooked.at[jnp.where(sel, cs, m)].min(
+                    jnp.where(sel, cd, _INT_MAX), mode="drop")
+                hooked = hooked.at[jnp.where(sel, cd, m)].min(
+                    jnp.where(sel, cs, _INT_MAX), mode="drop")
+                return chosen, hooked
+
+            chosen, hooked = jax.lax.fori_loop(
+                0, n_ch, c4, (chosen, comp))
+            comp2 = pointer_jump(hooked)
             return comp2, chosen, jnp.any(comp2 != comp)
 
         comp0 = jnp.arange(m, dtype=jnp.int32)
-        chosen0 = jnp.zeros((nnz,), bool)
+        chosen0 = jnp.zeros((n_ch * CH,), bool)
         comp, chosen, _ = jax.lax.while_loop(
             cond, body, (comp0, chosen0, jnp.bool_(True)))
-        # dedup reverse duplicates: an undirected edge may be chosen via
-        # either direction; count each vertex pair once
-        total = jnp.sum(jnp.where(chosen, w, 0.0))
-        return MSTResult(total, chosen, comp)
+        return MSTResult(jnp.float32(0), chosen[:nnz], comp)
 
-    res = g._dev(("mst_run",), lambda: jax.jit(run))()
+    res = g._dev(("mst_run", CH), lambda: jax.jit(run))(
+        src, dst, wi, cid, eid)
     # host-side dedup of (u,v)/(v,u) double-chosen pairs
     chosen = np.asarray(res.edge_mask)
     s = np.repeat(np.arange(m), np.diff(g.rowptr))[chosen]

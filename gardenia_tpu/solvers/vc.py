@@ -30,15 +30,38 @@ class VCResult(NamedTuple):
     iterations: jax.Array  # i32
 
 
+# per-edge rowsel gathers materialize a (chunk, 128) row table; 2^22
+# slots bounds that at 2 GB — the unchunked form OOM'd the 16 GB HBM at
+# RMAT-20 (s32[31.4M, 128] = 15 GB, found by the round-5 sweep)
+VC_EDGE_CHUNK = 1 << 22
+
+
 def vc_solver(g, *, max_color: int = T.MAXCOLOR) -> VCResult:
     """Reference entry int VCSolver(g, colors) (src/vc/vc.h:31).
     Requires a symmetrized graph (coloring is defined on undirected
     adjacency; the reference drivers load with symmetrize=1)."""
     m = g.m
     C = max_color
-    src, dst = g.device_coo()
+    nnz = g.nnz
+    n_ch = max(1, -(-nnz // VC_EDGE_CHUNK))
+    CH = min(VC_EDGE_CHUNK, T.next_pow2(max(nnz, T.LANES)))
 
-    def run():
+    def up():
+        import numpy as _np
+        rp = _np.asarray(g.rowptr, _np.int64)
+        s = _np.repeat(_np.arange(m, dtype=_np.int32), _np.diff(rp))
+        d = _np.asarray(g.colidx, _np.int32)
+        pad = n_ch * CH - nnz
+        # sentinel edges (m, m): inactive src, src < dst fails
+        return (jnp.asarray(_np.concatenate(
+                    [s, _np.full(pad, m, _np.int32)])),
+                jnp.asarray(_np.concatenate(
+                    [d, _np.full(pad, m, _np.int32)])))
+
+    src, dst = g._dev(("vc_coo_pad", CH), up)
+
+    def run(src, dst):
+        from gardenia_tpu.ops import rowsel
         colors0 = jnp.zeros((m,), jnp.int32)
         active0 = jnp.ones((m,), bool)
 
@@ -48,26 +71,40 @@ def vc_solver(g, *, max_color: int = T.MAXCOLOR) -> VCResult:
 
         def body(state):
             colors, active, it = state
-            from gardenia_tpu.ops import rowsel
-            cd = rowsel.take(colors, dst)
-            # forbidden[u, c] = 1 iff some neighbor of active u has color c
-            flat_idx = jnp.where(rowsel.take(active, src), src * C + cd,
-                                 m * C)
-            forb = jnp.zeros((m * C,), jnp.int32).at[flat_idx].max(
-                1, mode="drop").reshape(m, C)
+
+            # forbidden[u, c] = 1 iff a neighbor of active u has color c
+            def fchunk(i, forb):
+                s = jax.lax.dynamic_slice(src, (i * CH,), (CH,))
+                d = jax.lax.dynamic_slice(dst, (i * CH,), (CH,))
+                cd = rowsel.take(colors, d)
+                flat_idx = jnp.where(rowsel.take(active, s),
+                                     s * C + cd, m * C)
+                return forb.at[flat_idx].max(1, mode="drop")
+
+            forb = jax.lax.fori_loop(
+                0, n_ch, fchunk,
+                jnp.zeros((m * C,), jnp.int32)).reshape(m, C)
             # first-fit: smallest non-forbidden color (argmin finds the
             # first 0 along the color axis)
             fit = jnp.argmin(forb, axis=1).astype(jnp.int32)
             colors = jnp.where(active, fit, colors)
+
             # conflicts: edge (u,v), u<v, same color -> u goes again
-            conf_edge = (src < dst) & (rowsel.take(colors, src) ==
-                                       rowsel.take(colors, dst))
-            conflict = jnp.zeros((m,), jnp.int32).at[
-                jnp.where(conf_edge, src, m)].max(1, mode="drop")
+            def cchunk(i, conflict):
+                s = jax.lax.dynamic_slice(src, (i * CH,), (CH,))
+                d = jax.lax.dynamic_slice(dst, (i * CH,), (CH,))
+                ce = (s < d) & (rowsel.take(colors, s) ==
+                                rowsel.take(colors, d))
+                return conflict.at[jnp.where(ce, s, m)].max(
+                    1, mode="drop")
+
+            conflict = jax.lax.fori_loop(
+                0, n_ch, cchunk, jnp.zeros((m,), jnp.int32))
             return colors, conflict > 0, it + 1
 
         colors, _, it = jax.lax.while_loop(
             cond, body, (colors0, active0, jnp.int32(0)))
         return VCResult(colors, jnp.max(colors) + 1, it)
 
-    return g._dev(("vc_run", C), lambda: jax.jit(run))()
+    jitted = g._dev(("vc_run", C, CH), lambda: jax.jit(run))
+    return jitted(src, dst)
