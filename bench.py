@@ -522,8 +522,10 @@ def bench_sgl(scale: int, pattern: str = "diamond"):
     from gardenia_tpu.mining.sgl import sgl_solver
     from gardenia_tpu.utils.timer import time_op
     g = get_graph(scale, need_reverse=False)
+    # diamond's formula path embeds a full kcl-4 solve: minutes at
+    # scale 20, so one timed iteration there (same rule as bench_kcl)
     total, secs = time_op(lambda: sgl_solver(g, pattern),
-                          warmup=1, iters=2)
+                          warmup=1, iters=2 if scale < 18 else 1)
     meps = g.nnz / secs / 1e6
     return {"metric": f"sgl_{pattern}_meps_rmat{scale}",
             "value": round(meps, 3), "unit": "M edges/s",

@@ -164,6 +164,15 @@ def _make_last_level_rotate(dag, n_members: int, window: int = 1 << 12,
     return run
 
 
+# class-sort key sweep chunk (module-level so tests can shrink it to
+# exercise the multi-chunk path on CPU-sized buffers)
+SORT_CHUNK = 1 << 22
+
+# per-stage wall-clock split of the last _kcl_device call, populated
+# when GDN_KCL_TIME=1 (wedgestream.LAST_TIMINGS convention)
+LAST_TIMINGS = {}
+
+
 def _make_class_sort(dag, n_members: int):
     """Device sort of final-level embedding columns by rotation class
     (pow2 ceiling of the max adjacency chunk count over all members;
@@ -178,14 +187,35 @@ def _make_class_sort(dag, n_members: int):
         from gardenia_tpu.ops import rowsel
         _, _, nchunk = mem_ctx
         cap = members.shape[1]
-        nc = rowsel.take(nchunk, members[0])
-        for i in range(1, n_members):
-            nc = jnp.maximum(nc, rowsel.take(nchunk, members[i]))
-        idx = jnp.zeros(cap, jnp.int32)
-        for b in range(n_classes - 1):
-            idx = idx + (nc > (1 << b)).astype(jnp.int32)
-        valid = jnp.arange(cap, dtype=jnp.int32) < nvalid
-        key = jnp.where(valid, idx, n_classes)
+        # chunk the per-member class-key sweep: one whole-buffer
+        # rowsel gather materializes a (cap, 128) row table — 32 GB at
+        # a RMAT-20 kcl4 slice (s32[2^26, 128], found by the r5 sweep;
+        # same class as the vc/mst fix)
+        CH = min(SORT_CHUNK, cap)
+        n_ch = -(-cap // CH)
+        nchunk_rows = rowsel.to_rows(nchunk, nchunk.shape[0], 0)
+
+        def kchunk(i, key):
+            lo = i * CH
+            nc = rowsel.take2d(nchunk_rows, jax.lax.dynamic_slice(
+                members[0], (lo,), (CH,)))
+            for r in range(1, n_members):
+                nc = jnp.maximum(nc, rowsel.take2d(
+                    nchunk_rows, jax.lax.dynamic_slice(
+                        members[r], (lo,), (CH,))))
+            idx = jnp.zeros(CH, jnp.int32)
+            for b in range(n_classes - 1):
+                idx = idx + (nc > (1 << b)).astype(jnp.int32)
+            # dynamic_slice clamps the last window; the overlap is
+            # recomputed with identical values, so the clamped
+            # update_slice writes are consistent
+            pos = jnp.arange(CH, dtype=jnp.int32) + jnp.minimum(
+                lo, cap - CH)
+            k = jnp.where(pos < nvalid, idx, n_classes)
+            return jax.lax.dynamic_update_slice(key, k, (lo,))
+
+        key = jax.lax.fori_loop(
+            0, n_ch, kchunk, jnp.full((cap,), n_classes, jnp.int32))
         _, perm = jax.lax.sort_key_val(key,
                                        jnp.arange(cap, dtype=jnp.int32))
         counts = jnp.zeros(n_classes + 1, jnp.int32).at[key].add(1)
@@ -359,7 +389,24 @@ def _kcl_device(dag, k: int, chunk: int, member_fn, mem_ctx, ctx, deg,
     embeddings: expansion trees are independent per seed, so the caller
     sums slices — this keeps graphs whose level-2 wedge space exceeds
     int32 (RMAT-20: 2.47 G) on the device path instead of the
-    host-slice fallback's multi-GB D2H."""
+    host-slice fallback's multi-GB D2H.
+
+    GDN_KCL_TIME=1 records a per-stage wall-clock split into
+    LAST_TIMINGS (wedgestream convention), adding one scalar D2H sync
+    after each fill pass so stages don't bleed into each other."""
+    import os
+    import time as _time
+    _timing = os.environ.get("GDN_KCL_TIME") == "1"
+    _t0 = _time.time()
+
+    def _mark(key):
+        nonlocal _t0
+        if _timing:
+            now = _time.time()
+            LAST_TIMINGS[key] = round(
+                LAST_TIMINGS.get(key, 0.0) + (now - _t0), 3)
+            _t0 = now
+
     nnz = dag.nnz
     rowptr_d = ctx[0]
     src = np.repeat(np.arange(dag.m, dtype=np.int32), deg)
@@ -394,6 +441,7 @@ def _kcl_device(dag, k: int, chunk: int, member_fn, mem_ctx, ctx, deg,
             members_s, counts = srt(members_d, jnp.int32(count),
                                     mem_ctx)
             counts = np.asarray(counts)
+            _mark(f"l{level}_clsort_s")
             # <= 2^23 embeddings per device program: the whole-buffer
             # call ran ~3x the axon worker's ~2-minute kill at a
             # RMAT-20 slice (~46M triangles); slice shapes pow2-snap in
@@ -424,6 +472,10 @@ def _kcl_device(dag, k: int, chunk: int, member_fn, mem_ctx, ctx, deg,
                         members_s, (0, o2), (level, npad))
                     out = last(win, jnp.int32(n), mem_ctx)
                     tot += int(np.asarray(out).astype(np.int64).sum())
+                    if _timing:
+                        LAST_TIMINGS[f"final_c{mc}_n"] = (
+                            LAST_TIMINGS.get(f"final_c{mc}_n", 0) + n)
+                    _mark(f"final_c{mc}_s")
                 off += cnt
             return tot
         if total_wedges == 0:
@@ -457,6 +509,7 @@ def _kcl_device(dag, k: int, chunk: int, member_fn, mem_ctx, ctx, deg,
             carry = cnt_run(members_d, e_all, koff_all, tot_t, ctx,
                             jnp.int32(c * EXPAND_WINS), carry)
         new_count = int(carry[0])
+        _mark(f"l{level}_count_s")
         # guard estimate, inflated to absorb the f32 accumulation error
         next_wedges = int(float(carry[1]) * 1.01) + 1024
         if new_count == 0:
@@ -474,6 +527,9 @@ def _kcl_device(dag, k: int, chunk: int, member_fn, mem_ctx, ctx, deg,
             fcarry = fill_run(members_d, e_all, koff_all, tot_t, ctx,
                               jnp.int32(c * EXPAND_WINS), fcarry)
         members_d = fcarry[0]
+        if _timing:
+            int(fcarry[1])              # sync so the fill stage is real
+        _mark(f"l{level}_fill_s")
         count = new_count
         total_wedges = next_wedges
     return 0

@@ -59,10 +59,12 @@ def mst_solver(g) -> MSTResult:
             np.asarray(g.weights, np.float32)
         # canonical undirected edge id, identical for (u,v) and (v,u):
         # the global tie-break making per-component minima a total
-        # order (the reference's verify_min_elem plays this role)
-        pair = np.stack([np.minimum(s_h, d_h), np.maximum(s_h, d_h)],
-                        axis=1)
-        _, cid_h = np.unique(pair, axis=0, return_inverse=True)
+        # order (the reference's verify_min_elem plays this role).
+        # 1-D int64 keys: np.unique(pair, axis=0) is a void-view sort
+        # that takes tens of minutes on this host at 31M edges
+        key = (np.minimum(s_h, d_h).astype(np.int64) * g.m
+               + np.maximum(s_h, d_h))
+        _, cid_h = np.unique(key, return_inverse=True)
         pad = n_ch * CH - nnz
 
         def padded(a, fill, dtype):

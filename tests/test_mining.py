@@ -167,6 +167,21 @@ def test_kcl_device_multi_call(monkeypatch):
         assert kclmod.kcl_solver(g, k, chunk=128) == expect
 
 
+def test_kcl_class_sort_chunked(monkeypatch):
+    """The final-level class sort sweeps its per-member class keys in
+    column chunks (one whole-buffer rowsel gather materialized a 32 GB
+    (2^26, 128) row table at a RMAT-20 kcl4 slice — r5 sweep).  Shrink
+    the chunk so CPU-sized buffers take the multi-chunk path, including
+    a non-divisible last window."""
+    import gardenia_tpu.mining.kcl as kclmod
+    g = random_graph(m=60, avg_deg=12, seed=7, symmetric=True)
+    monkeypatch.setattr(kclmod, "SORT_CHUNK", 384)
+    monkeypatch.setattr(kclmod, "LAST_WIN", 128)
+    for k in (4, 5):
+        expect = kclmod.kcl_verifier(g, k)
+        assert kclmod.kcl_solver(g, k, chunk=128) == expect
+
+
 def test_kcl_device_guard_falls_back(monkeypatch):
     """When a level's wedge space nears int32 the device path declines
     (guard goes negative here via a huge chunk) and the host-slice path
