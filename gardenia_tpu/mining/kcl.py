@@ -172,15 +172,215 @@ SORT_CHUNK = 1 << 22
 # when GDN_KCL_TIME=1 (wedgestream.LAST_TIMINGS convention)
 LAST_TIMINGS = {}
 
+# k=4 candidate-mask engine (round 5): every level-2 embedding (DAG
+# edge (v1,v2)) precomputes a packed bitmask over N+(v1)'s adjacency
+# lanes marking membership in N+(v2) — the TPU analog of the
+# reference's cmap connectivity map (mining/kcl_dfs/omp_base.cc:22-60,
+# include/cmap.h).  Downstream the mask replaces per-wedge membership
+# probes: the count pass collapses to a popcount over edges (no wedge
+# sweep), the fill pass tests one bit per wedge (one narrow row gather
+# instead of max_chunks 128-wide chunk compares), and the final level
+# rotates only against the NEW member x3 (the v2 constraint is already
+# in the parent's mask) — half the rotation work.
+USE_EDGE_MASKS = True
 
-def _make_class_sort(dag, n_members: int):
+
+def _popcount32(v):
+    """Per-lane bit count of int32 words (SWAR; wrap-safe)."""
+    sr = jax.lax.shift_right_logical
+    v = v - (sr(v, 1) & 0x55555555)
+    v = (v & 0x33333333) + (sr(v, 2) & 0x33333333)
+    v = (v + sr(v, 4)) & 0x0F0F0F0F
+    return sr(v * 0x01010101, 24)
+
+
+def _make_edge_masks(dag):
+    """build(members, nvalid, mem_ctx) -> (cap, max_chunks*4) i32:
+    packed candidate masks.  Bit (c*128 + j) of row e is set iff lane j
+    of v1(e)'s c-th adjacency chunk holds a real vertex that is also in
+    N+(v2(e)).  Invalid columns (>= nvalid) are all-zero."""
+    _, _, _, max_chunks, sent = _chunk_member_data(dag)
+    n_words = max_chunks * 4
+
+    @jax.jit
+    def build(members, nvalid, mem_ctx):
+        from gardenia_tpu.ops import rowsel
+        table, cstart, nchunk = mem_ctx
+        cap = members.shape[1]
+        CH = min(SORT_CHUNK >> 3, cap)
+        n_ch = -(-cap // CH)
+        lanebit = jax.lax.shift_left(
+            jnp.int32(1), jnp.arange(32, dtype=jnp.int32))
+
+        def chunkf(i, wtab):
+            lo = i * CH
+            v1 = jax.lax.dynamic_slice(members[0], (lo,), (CH,))
+            v2 = jax.lax.dynamic_slice(members[1], (lo,), (CH,))
+            base1 = rowsel.take(cstart, v1)
+            nc1 = rowsel.take(nchunk, v1)
+            base2 = rowsel.take(cstart, v2)
+            nc2 = rowsel.take(nchunk, v2)
+            pos = jnp.arange(CH, dtype=jnp.int32) + jnp.minimum(
+                lo, cap - CH)
+            valid = pos < nvalid
+            blocks = []
+            for c1 in range(max_chunks):
+                A = table[jnp.where((c1 < nc1) & valid,
+                                    base1 + c1, sent)]
+                memb = jnp.zeros(A.shape, bool)
+                for c2 in range(max_chunks):
+                    B = table[jnp.where(c2 < nc2, base2 + c2, sent)]
+                    B = jnp.where(B == -1, -2, B)
+
+                    def rot(s, mb):
+                        return mb | (A == jnp.roll(B, s, axis=1))
+
+                    memb = jax.lax.fori_loop(0, 128, rot, memb)
+                memb = memb & (A != -1)
+                # disjoint powers of two: the sum IS the bitwise OR
+                blocks.append(jnp.sum(
+                    jnp.where(memb.reshape(CH, 4, 32), lanebit, 0),
+                    axis=2, dtype=jnp.int32))
+            wblk = jnp.concatenate(blocks, axis=1)
+            return jax.lax.dynamic_update_slice(
+                wtab, wblk, (jnp.minimum(lo, cap - CH), 0))
+
+        return jax.lax.fori_loop(
+            0, n_ch, chunkf, jnp.zeros((cap, n_words), jnp.int32))
+
+    return build
+
+
+def _make_mask_count(dag):
+    """count(wtab, v1row, nvalid, rowptr) -> (survivors i32, next-level
+    wedge-total f32 saturated) — the masked replacement for the count
+    pass: a popcount over level-2 embeddings instead of a sweep over
+    the full wedge space."""
+
+    @jax.jit
+    def count(wtab, v1row, nvalid, rowptr):
+        from gardenia_tpu.ops import rowsel
+        pc = jnp.sum(_popcount32(wtab), axis=1)
+        valid = jnp.arange(wtab.shape[0], dtype=jnp.int32) < nvalid
+        pc = jnp.where(valid, pc, 0)
+        deg1 = rowsel.take(rowptr, v1row + 1) - rowsel.take(rowptr,
+                                                            v1row)
+        wsum = jnp.minimum(
+            jnp.sum(pc.astype(jnp.float32) * deg1.astype(jnp.float32)),
+            jnp.float32(2 ** 31 - 1))
+        return jnp.sum(pc, dtype=jnp.int32), wsum
+
+    return count
+
+
+def _make_fill_masked(nnz, chunk, wins_per_call):
+    """Masked fill pass: like _make_expand_dev(fill=True) but the
+    per-wedge membership probe is one bit of the parent edge's packed
+    mask, and the emitted embedding carries a PARENT row (index into
+    the level-2 buffer) so the final level can reuse the mask."""
+
+    @jax.jit
+    def run(members, wtab, e_all, koff_all, total, ctx, w0, carry):
+        from gardenia_tpu.ops import rowsel
+        rowptr, colidx, mem_ctx = ctx
+        n_words = wtab.shape[1]
+        word_ids = jnp.arange(n_words, dtype=jnp.int32)
+
+        def win(w, carry):
+            s = (w0 + w) * chunk
+            j = s + jnp.arange(chunk, dtype=jnp.int32)
+            e = jax.lax.dynamic_slice(e_all, (s,), (chunk,))
+            k_off = jax.lax.dynamic_slice(koff_all, (s,), (chunk,))
+            e = jnp.clip(e, 0, members.shape[1] - 1)
+            v1 = rowsel.take(members[0], e)
+            x = rowsel.take(
+                colidx,
+                jnp.minimum(rowsel.take(rowptr, v1) + k_off, nnz - 1))
+            wrow = wtab[e]                          # (chunk, n_words)
+            wsel = jnp.sum(jnp.where(
+                word_ids == (k_off >> 5)[:, None], wrow, 0), axis=1)
+            bit = jax.lax.shift_right_logical(wsel, k_off & 31) & 1
+            ok = (j < total) & (bit == 1)
+            buf, offset = carry
+            idx = jnp.nonzero(ok, size=chunk, fill_value=chunk - 1)[0]
+            rows = jnp.concatenate(
+                [jnp.take(members, e[idx], axis=1), x[idx][None, :],
+                 e[idx][None, :]], axis=0)
+            buf = jax.lax.dynamic_update_slice(buf, rows, (0, offset))
+            return buf, offset + jnp.sum(ok.astype(jnp.int32))
+
+        return jax.lax.fori_loop(0, wins_per_call, win, carry)
+
+    return run
+
+
+def _make_last_level_rotate_masked(dag, window: int = 1 << 12,
+                                   max_chunks_cap: int = None):
+    """Masked final level for k=4: members rows are (v1, v2, x3,
+    parent).  The candidate base is the parent edge's packed mask
+    (N+(v1) ∩ N+(v2), computed once per DAG edge) — only the NEW
+    member x3 needs a rotation-membership pass, halving the dominant
+    rotation work of _make_last_level_rotate."""
+    _, _, _, max_chunks, sent = _chunk_member_data(dag)
+    if max_chunks_cap is not None:
+        max_chunks = min(max_chunks, max_chunks_cap)
+
+    @jax.jit
+    def run(members, wtab, nvalid, mem_ctx):
+        from gardenia_tpu.ops import rowsel
+        table, cstart, nchunk = mem_ctx
+        n_w = members.shape[1] // window
+        lane = jax.lax.broadcasted_iota(jnp.int32, (window, 128), 1)
+        lane_shift = lane & 31
+
+        def win(w, partials):
+            msl = jax.lax.dynamic_slice(
+                members, (0, w * window), (4, window))
+            col_ok = (w * window
+                      + jnp.arange(window, dtype=jnp.int32)) < nvalid
+            v1, x3, par = msl[0], msl[2], msl[3]
+            base1 = rowsel.take(cstart, v1)
+            nc1 = rowsel.take(nchunk, v1)
+            base3 = rowsel.take(cstart, x3)
+            nc3 = rowsel.take(nchunk, x3)
+            wrows = wtab[jnp.clip(par, 0, wtab.shape[0] - 1)]
+            total = jnp.int32(0)
+            for c1 in range(max_chunks):
+                A = table[jnp.where(c1 < nc1, base1 + c1, sent)]
+                wds = wrows[:, c1 * 4:(c1 + 1) * 4]
+                ok = (jax.lax.shift_right_logical(
+                    jnp.repeat(wds, 32, axis=1), lane_shift) & 1) == 1
+                ok = ok & col_ok[:, None]
+                memb = jnp.zeros(A.shape, bool)
+                for c3 in range(max_chunks):
+                    B = table[jnp.where(c3 < nc3, base3 + c3, sent)]
+                    B = jnp.where(B == -1, -2, B)
+
+                    def rot(s, mb):
+                        return mb | (A == jnp.roll(B, s, axis=1))
+
+                    memb = jax.lax.fori_loop(0, 128, rot, memb)
+                ok = ok & memb
+                total = total + jnp.sum(ok.astype(jnp.int32))
+            return partials.at[w].set(total)
+
+        return jax.lax.fori_loop(0, n_w, win,
+                                 jnp.zeros((n_w,), jnp.int32))
+
+    return run
+
+
+def _make_class_sort(dag, key_rows):
     """Device sort of final-level embedding columns by rotation class
-    (pow2 ceiling of the max adjacency chunk count over all members;
-    invalid columns sort last).  Only the tiny per-class count vector
-    crosses to the host, so the classed final level costs one device
-    sort + column gather on top of the rotation it shrinks."""
+    (pow2 ceiling of the max adjacency chunk count over the member rows
+    in key_rows; invalid columns sort last).  Only the tiny per-class
+    count vector crosses to the host, so the classed final level costs
+    one device sort + column gather on top of the rotation it shrinks.
+    ALL rows (including a parent row, if present) ride the same column
+    permutation; only key_rows feed the class key."""
     _, _, _, max_chunks, _ = _chunk_member_data(dag)
     n_classes = max(1, (max_chunks - 1).bit_length() + 1)
+    key_rows = tuple(key_rows)
 
     @jax.jit
     def srt(members, nvalid, mem_ctx):
@@ -198,8 +398,8 @@ def _make_class_sort(dag, n_members: int):
         def kchunk(i, key):
             lo = i * CH
             nc = rowsel.take2d(nchunk_rows, jax.lax.dynamic_slice(
-                members[0], (lo,), (CH,)))
-            for r in range(1, n_members):
+                members[key_rows[0]], (lo,), (CH,)))
+            for r in key_rows[1:]:
                 nc = jnp.maximum(nc, rowsel.take2d(
                     nchunk_rows, jax.lax.dynamic_slice(
                         members[r], (lo,), (CH,))))
@@ -375,7 +575,8 @@ EXPAND_WINS = 64    # chunk windows per device program (bounds program
 
 
 def _kcl_device(dag, k: int, chunk: int, member_fn, mem_ctx, ctx, deg,
-                edge_lo: int = 0, edge_hi: int = None):
+                edge_lo: int = 0, edge_hi: int = None,
+                use_masks: bool = False):
     """Fully device-resident kCL: embeddings never cross the tunnel
     between levels (D2H measured at 8-22 MB/s; the host-loop form spent
     half of kcl-4's RMAT-16 time shipping embedding blocks).  Each
@@ -422,6 +623,10 @@ def _kcl_device(dag, k: int, chunk: int, member_fn, mem_ctx, ctx, deg,
     count = e0
     total_wedges = int(deg[src].sum())
     guard = int((2 ** 31) * 0.98) - chunk * EXPAND_WINS
+    # candidate-mask engine (k=4 only: the final level's parents must
+    # be level-2 edges for their masks to cover all prior members)
+    use_masks = use_masks and k == 4 and mem_ctx is not None
+    wtab = None
 
     from gardenia_tpu.ops import rowsel
     # total_wedges is EXACT for level 2 (host sum); for later levels it
@@ -436,8 +641,13 @@ def _kcl_device(dag, k: int, chunk: int, member_fn, mem_ctx, ctx, deg,
             # run a class-specialized rotation per contiguous range —
             # class-1 windows (every member's N+ in one 128-chunk, the
             # common case) do 1/max_chunks^2 of the rotation work
-            srt, _ = dag._dev(("kcl_cls_sort", level),
-                              lambda: _make_class_sort(dag, level))
+            # class key: with masks the mid member v2 is already baked
+            # into the parent mask, so only v1 and the new member x3
+            # bound the rotation loops
+            key_rows = (0, level - 1) if use_masks else \
+                tuple(range(level))
+            srt, _ = dag._dev(("kcl_cls_sort", level, key_rows),
+                              lambda: _make_class_sort(dag, key_rows))
             members_s, counts = srt(members_d, jnp.int32(count),
                                     mem_ctx)
             counts = np.asarray(counts)
@@ -449,9 +659,10 @@ def _kcl_device(dag, k: int, chunk: int, member_fn, mem_ctx, ctx, deg,
             # per (class, shape)); FIN_CH column padding keeps every
             # dynamic_slice in-bounds without start clamping
             FIN_CH = 1 << 23
+            n_rows = members_s.shape[0]
             members_s = jnp.concatenate(
                 [members_s,
-                 jnp.zeros((level, min(FIN_CH, members_s.shape[1])),
+                 jnp.zeros((n_rows, min(FIN_CH, members_s.shape[1])),
                            jnp.int32)], axis=1)
             tot = 0
             off = 0
@@ -460,17 +671,25 @@ def _kcl_device(dag, k: int, chunk: int, member_fn, mem_ctx, ctx, deg,
                 if cnt == 0:
                     continue
                 mc = 1 << ci_
-                last = dag._dev(
-                    ("kcl_last_rot", level, LAST_WIN, mc),
-                    lambda mc=mc: _make_last_level_rotate(
-                        dag, level, LAST_WIN, mc))
+                if use_masks:
+                    last = dag._dev(
+                        ("kcl_last_rotm", LAST_WIN, mc),
+                        lambda mc=mc: _make_last_level_rotate_masked(
+                            dag, LAST_WIN, mc))
+                else:
+                    last = dag._dev(
+                        ("kcl_last_rot", level, LAST_WIN, mc),
+                        lambda mc=mc: _make_last_level_rotate(
+                            dag, level, LAST_WIN, mc))
                 for o2 in range(off, off + cnt, FIN_CH):
                     n = min(off + cnt - o2, FIN_CH)
                     npad = LAST_WIN * T.next_pow2(-(-n // LAST_WIN))
                     npad = min(npad, members_s.shape[1] - o2)
                     win = jax.lax.dynamic_slice(
-                        members_s, (0, o2), (level, npad))
-                    out = last(win, jnp.int32(n), mem_ctx)
+                        members_s, (0, o2), (n_rows, npad))
+                    out = (last(win, wtab, jnp.int32(n), mem_ctx)
+                           if use_masks else
+                           last(win, jnp.int32(n), mem_ctx))
                     tot += int(np.asarray(out).astype(np.int64).sum())
                     if _timing:
                         LAST_TIMINGS[f"final_c{mc}_n"] = (
@@ -499,6 +718,40 @@ def _kcl_device(dag, k: int, chunk: int, member_fn, mem_ctx, ctx, deg,
         e_all, koff_all = _build_wedge_index(cum_d, S=S)
         n_calls = -(-S // (chunk * EXPAND_WINS))
         tot_t = jnp.int32(total_wedges)
+
+        if use_masks:
+            # candidate masks over the level-2 edges: the count pass
+            # collapses to one popcount over edges (no wedge sweep)
+            mb = dag._dev(("kcl_emask",),
+                          lambda: _make_edge_masks(dag))
+            wtab = mb(members_d, jnp.int32(count), mem_ctx)
+            mcnt = dag._dev(("kcl_emask_count",),
+                            lambda: _make_mask_count(dag))
+            cnt, wsum = mcnt(wtab, members_d[0], jnp.int32(count),
+                             rowptr_d)
+            new_count = int(cnt)
+            _mark(f"l{level}_count_s")
+            next_wedges = int(float(wsum) * 1.01) + 1024
+            if new_count == 0:
+                return 0
+            new_cap = LAST_WIN * T.next_pow2(
+                -(-(new_count + chunk) // LAST_WIN))
+            fill_run = dag._dev(
+                ("kcl_dev_fillm", chunk, EXPAND_WINS),
+                lambda: _make_fill_masked(nnz, chunk, EXPAND_WINS))
+            fcarry = (jnp.zeros((level + 2, new_cap), jnp.int32),
+                      jnp.int32(0))
+            for c in range(n_calls):
+                fcarry = fill_run(members_d, wtab, e_all, koff_all,
+                                  tot_t, ctx,
+                                  jnp.int32(c * EXPAND_WINS), fcarry)
+            members_d = fcarry[0]
+            if _timing:
+                int(fcarry[1])
+            _mark(f"l{level}_fill_s")
+            count = new_count
+            total_wedges = next_wedges
+            continue
 
         cnt_run = dag._dev(
             ("kcl_dev_count", level, chunk, EXPAND_WINS),
@@ -594,7 +847,7 @@ def kcl_solver(g, k: int, *, chunk: int = 1 << 18,
             if lo >= hi:
                 continue
             got = _kcl_device(dag, k, chunk, member_fn, mem_ctx, ctx,
-                              deg, lo, hi)
+                              deg, lo, hi, use_masks=USE_EDGE_MASKS)
             if got is None:
                 ok = False      # a deeper level tripped the guard
                 break

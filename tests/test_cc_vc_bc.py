@@ -72,6 +72,29 @@ def test_vc_chesapeake():
     assert oracles.vc_check(g, np.asarray(res.colors))
 
 
+def test_vc_palette_escalation():
+    """A clique wider than the palette saturates every vertex's
+    forbidden row; the fixed-C loop would spin forever (the axon worker
+    killed vc@RMAT-20 this way — 111 colors already at scale 16).  The
+    solver must detect saturation, double the palette, and produce a
+    proper coloring."""
+    import numpy as np
+    from gardenia_tpu.core.graph import Graph
+    n = 10
+    src = np.repeat(np.arange(n, dtype=np.int32), n - 1)
+    dst = np.concatenate(
+        [[j for j in range(n) if j != i] for i in range(n)]
+    ).astype(np.int32)
+    order = np.argsort(src, kind="stable")
+    rowptr = np.zeros(n + 1, np.int64)
+    np.add.at(rowptr[1:], src, 1)
+    rowptr = np.cumsum(rowptr)
+    g = Graph(rowptr.astype(np.int64), dst[order], symmetric=True)
+    res = vc_solver(g, max_color=4)      # K_10 needs 10 colors
+    assert oracles.vc_check(g, np.asarray(res.colors))
+    assert int(res.num_colors) == n
+
+
 def test_bc_chesapeake():
     g = load_graph(f"{DATASETS}/chesapeake.mtx", "mtx", symmetrize=True)
     res = bc_solver(g, 0)

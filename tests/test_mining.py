@@ -182,6 +182,23 @@ def test_kcl_class_sort_chunked(monkeypatch):
         assert kclmod.kcl_solver(g, k, chunk=128) == expect
 
 
+def test_kcl_mask_engine_matches_legacy(monkeypatch):
+    """k=4 candidate-mask engine (packed per-edge masks, parent-indexed
+    final level) must agree with the legacy per-wedge-probe path and
+    the brute-force oracle — including on a hub graph whose adjacency
+    spans multiple 128-wide chunks (packed words beyond word 3)."""
+    import gardenia_tpu.mining.kcl as kclmod
+    for g in (random_graph(m=60, avg_deg=12, seed=7, symmetric=True),
+              random_graph(m=150, avg_deg=80, seed=3, symmetric=True)):
+        expect = kclmod.kcl_verifier(g, 4)
+        assert kclmod.kcl_solver(g, 4) == expect
+        g2 = random_graph(m=g.m, avg_deg=12 if g.m == 60 else 80,
+                          seed=7 if g.m == 60 else 3, symmetric=True)
+        monkeypatch.setattr(kclmod, "USE_EDGE_MASKS", False)
+        assert kclmod.kcl_solver(g2, 4) == expect
+        monkeypatch.setattr(kclmod, "USE_EDGE_MASKS", True)
+
+
 def test_kcl_device_guard_falls_back(monkeypatch):
     """When a level's wedge space nears int32 the device path declines
     (guard goes negative here via a huge chunk) and the host-slice path
