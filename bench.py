@@ -522,10 +522,14 @@ def bench_sgl(scale: int, pattern: str = "diamond"):
     from gardenia_tpu.mining.sgl import sgl_solver
     from gardenia_tpu.utils.timer import time_op
     g = get_graph(scale, need_reverse=False)
-    # diamond's formula path embeds a full kcl-4 solve: minutes at
-    # scale 20, so one timed iteration there (same rule as bench_kcl)
+    # diamond's formula path embeds a full kcl-4 solve: ~14 min at
+    # scale 20, so one timed iteration there AND no warmup solve (the
+    # r5 sweep's warmup+timed pair = 2 kcl-4 solves blew the 1 h row
+    # timeout; run sgl after kcl in sweeps so the XLA disk cache is
+    # hot and the timed iter pays cached-compile loads, not solves)
     total, secs = time_op(lambda: sgl_solver(g, pattern),
-                          warmup=1, iters=2 if scale < 18 else 1)
+                          warmup=1 if scale < 18 else 0,
+                          iters=2 if scale < 18 else 1)
     meps = g.nnz / secs / 1e6
     return {"metric": f"sgl_{pattern}_meps_rmat{scale}",
             "value": round(meps, 3), "unit": "M edges/s",

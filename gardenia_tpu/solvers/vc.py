@@ -6,11 +6,24 @@ and (2) conflict resolution — of any conflicting edge (u,v) with
 colors[u]==colors[v], the lower endpoint u<v re-enters the worklist
 (omp_base.cc:8-41).  MAXCOLOR=128 (common.h:65).
 
-TPU design: the per-thread forbiddenColors[MAXCOLOR] array becomes a dense
-(m, 128) forbidden table built edge-parallel with one scatter-max into a
-flat (m*128,) byte vector; first-fit = argmin over the color axis; the
-conflict worklist is a dense active mask.  The whole round loop is fused
-in one lax.while_loop (no host sync).
+TPU design: the per-thread forbiddenColors[MAXCOLOR] array becomes a
+dense (m, C) forbidden table built edge-parallel with one scatter-max
+into a flat (m*C,) byte vector; first-fit = argmin over the color axis;
+the conflict worklist is a dense active mask.
+
+Round-5 rework (the r5 sweep killed vc@RMAT-20 twice):
+
+* The conflict cascade serializes the hub near-clique — measured rounds
+  == num_colors exactly (48 rounds at scale 12, 74 at 14), so scale 20
+  takes a few hundred rounds and ONE fused while_loop outlives the axon
+  worker's ~2-minute program kill.  Rounds now run in bounded device
+  segments with the host picking a tier between calls.
+* After the first 2-4 rounds only the hub core stays active, but the
+  fused loop paid two full O(E) edge sweeps per round.  Sparse tiers
+  expand only the active vertices' out-edges (frontier compaction +
+  expand_frontier_edges_tbl, static capacities like BFS/SSSP) — the
+  reference analog is its conflict worklist shrinking to the conflicted
+  vertices (omp_base.cc:30-41), which the dense sweep ignored.
 """
 
 from __future__ import annotations
@@ -22,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gardenia_tpu.core import types as T
+from gardenia_tpu.utils import segment
 
 
 class VCResult(NamedTuple):
@@ -35,26 +49,38 @@ class VCResult(NamedTuple):
 # RMAT-20 (s32[31.4M, 128] = 15 GB, found by the round-5 sweep)
 VC_EDGE_CHUNK = 1 << 22
 
+# sparse-tier static edge capacities (ids capped by the same number):
+# the small tier serves the long tail of hub-core rounds, the big one
+# the first post-explosion rounds; RMAT-20 hubs reach ~10^5 degree so
+# the big tier must hold a few hubs' full neighborhoods
+VC_SPARSE_CAPS = (1 << 17, 1 << 21)
 
-def vc_solver(g, *, max_color: int = T.MAXCOLOR) -> VCResult:
+# sparse rounds per device segment (each ~ms); dense rounds run one
+# per call so the host can switch tiers as soon as the frontier fits
+VC_ROUNDS_PER_SEGMENT = 64
+
+
+def vc_solver(g, *, max_color: int = T.MAXCOLOR,
+              rounds_per_segment: int = VC_ROUNDS_PER_SEGMENT) -> VCResult:
     """Reference entry int VCSolver(g, colors) (src/vc/vc.h:31).
     Requires a symmetrized graph (coloring is defined on undirected
     adjacency; the reference drivers load with symmetrize=1).
 
-    Palette escalation (round 5): the reference's fixed
-    forbiddenColors[MAXCOLOR=128] (common.h:65) silently can't color a
-    vertex whose neighborhood already uses all 128 colors — here that
-    saturation would spin the fused while_loop forever (the axon worker
-    killed vc@RMAT-20 at its ~2-minute limit; scale 16 already uses 111
-    colors).  The device program detects saturation and exits with a
-    flag; the host doubles the palette and re-runs (the (m, C) table
-    doubles too — still ≤ 4 GB at C=1024, m=2^20)."""
+    Palette escalation: the reference's fixed forbiddenColors[128]
+    (common.h:65) silently can't color a vertex whose neighborhood
+    already uses all 128 colors (scale 16 already needs 111).  Here a
+    saturated vertex KEEPS its state and stays active, the segment
+    exits with a sticky flag, and the host doubles the palette and
+    resumes the SAME carry — colors already committed are valid
+    first-fits under any larger palette, so no work is redone."""
     m = g.m
     nnz = g.nnz
     n_ch = max(1, -(-nnz // VC_EDGE_CHUNK))
     CH = min(VC_EDGE_CHUNK, T.next_pow2(max(nnz, T.LANES)))
 
-    def up():
+    from gardenia_tpu.ops import rowsel
+
+    def up_dense():
         import numpy as _np
         rp = _np.asarray(g.rowptr, _np.int64)
         s = _np.repeat(_np.arange(m, dtype=_np.int32), _np.diff(rp))
@@ -66,77 +92,143 @@ def vc_solver(g, *, max_color: int = T.MAXCOLOR) -> VCResult:
                 jnp.asarray(_np.concatenate(
                     [d, _np.full(pad, m, _np.int32)])))
 
-    src, dst = g._dev(("vc_coo_pad", CH), up)
+    src, dst = g._dev(("vc_coo_pad", CH), up_dense)
 
-    def make_run(C):
-        def run(src, dst):
-            from gardenia_tpu.ops import rowsel
-            colors0 = jnp.zeros((m,), jnp.int32)
-            active0 = jnp.ones((m,), bool)
+    def up_sparse():
+        rowptr, colidx = g.device_csr()
+        rp_t = rowsel.to_rows(rowptr, m + 1, nnz)
+        ci_t = rowsel.to_rows(colidx, nnz, 0)
+        return rp_t, ci_t, g.device_degrees()
 
-            def cond(state):
-                _, active, _, stuck = state
-                return jnp.any(active) & ~stuck
+    rp_t, ci_t, deg = g._dev(("vc_sparse_tbl",), up_sparse)
 
-            def body(state):
-                colors, active, it, _ = state
+    # carry: (colors, active, rounds, stuck=palette saturated,
+    # spill=frontier outgrew this tier mid-segment)
+    def _cond(state):
+        _, active, _, stuck, spill = state
+        return jnp.any(active) & ~stuck & ~spill
 
-                # forbidden[u, c] = 1 iff a neighbor of active u has
-                # color c
-                def fchunk(i, forb):
-                    s = jax.lax.dynamic_slice(src, (i * CH,), (CH,))
-                    d = jax.lax.dynamic_slice(dst, (i * CH,), (CH,))
-                    cd = rowsel.take(colors, d)
-                    flat_idx = jnp.where(rowsel.take(active, s),
-                                         s * C + cd, m * C)
-                    return forb.at[flat_idx].max(1, mode="drop")
+    def _first_fit(forb, colors, active):
+        """Commit first-fit colors; returns (colors, sat, stuck)."""
+        sat = active & (jnp.min(forb, axis=1) == 1)
+        stuck = jnp.any(sat)
+        fit = jnp.argmin(forb, axis=1).astype(jnp.int32)
+        return jnp.where(active & ~sat, fit, colors), sat, stuck
 
-                forb = jax.lax.fori_loop(
-                    0, n_ch, fchunk,
-                    jnp.zeros((m * C,), jnp.int32)).reshape(m, C)
-                # a saturated active vertex (all C colors forbidden)
-                # can never leave the worklist: exit and let the host
-                # double the palette
-                stuck = jnp.any(active & (jnp.min(forb, axis=1) == 1))
-                # first-fit: smallest non-forbidden color (argmin
-                # finds the first 0 along the color axis)
-                fit = jnp.argmin(forb, axis=1).astype(jnp.int32)
-                colors = jnp.where(active, fit, colors)
+    def make_dense(C):
+        def body(state):
+            colors, active, it, _, _ = state
 
-                # conflicts: edge (u,v), u<v, same color -> u again
-                def cchunk(i, conflict):
-                    s = jax.lax.dynamic_slice(src, (i * CH,), (CH,))
-                    d = jax.lax.dynamic_slice(dst, (i * CH,), (CH,))
-                    ce = (s < d) & (rowsel.take(colors, s) ==
-                                    rowsel.take(colors, d))
-                    return conflict.at[jnp.where(ce, s, m)].max(
-                        1, mode="drop")
+            # forbidden[u, c] = 1 iff a neighbor of active u has color c
+            def fchunk(i, forb):
+                s = jax.lax.dynamic_slice(src, (i * CH,), (CH,))
+                d = jax.lax.dynamic_slice(dst, (i * CH,), (CH,))
+                cd = rowsel.take(colors, d)
+                flat_idx = jnp.where(rowsel.take(active, s),
+                                     s * C + cd, m * C)
+                return forb.at[flat_idx].max(jnp.int8(1), mode="drop")
 
-                conflict = jax.lax.fori_loop(
-                    0, n_ch, cchunk, jnp.zeros((m,), jnp.int32))
-                return colors, conflict > 0, it + 1, stuck
+            forb = jax.lax.fori_loop(
+                0, n_ch, fchunk,
+                jnp.zeros((m * C,), jnp.int8)).reshape(m, C)
+            colors, sat, stuck = _first_fit(forb, colors, active)
 
-            colors, _, it, stuck = jax.lax.while_loop(
-                cond, body,
-                (colors0, active0, jnp.int32(0), jnp.bool_(False)))
-            return VCResult(colors, jnp.max(colors) + 1, it), stuck
+            # conflicts: edge (u,v), u<v, same color -> u again
+            def cchunk(i, conflict):
+                s = jax.lax.dynamic_slice(src, (i * CH,), (CH,))
+                d = jax.lax.dynamic_slice(dst, (i * CH,), (CH,))
+                ce = (s < d) & (rowsel.take(colors, s) ==
+                                rowsel.take(colors, d))
+                return conflict.at[jnp.where(ce, s, m)].max(
+                    1, mode="drop")
 
-        return run
+            conflict = jax.lax.fori_loop(
+                0, n_ch, cchunk, jnp.zeros((m,), jnp.int32))
+            return (colors, (conflict > 0) | sat, it + 1, stuck,
+                    jnp.bool_(False))
+
+        # one dense round per call: the host re-checks the frontier
+        # after each so it can drop to a sparse tier immediately
+        return segment.build_segmented(_cond, body, 1)
+
+    def make_sparse(C, cap_ids, cap_e):
+        from gardenia_tpu.ops.frontier import (compact_mask,
+                                               expand_frontier_edges_tbl)
+
+        def body(state):
+            colors, active, it, _, _ = state
+            cnt = jnp.sum(active.astype(jnp.int32))
+            dsum = jnp.sum(jnp.where(active, deg, 0))
+            fits = (cnt <= cap_ids) & (dsum <= cap_e)
+
+            ids = compact_mask(active, cap_ids, m)
+            s, d, valid, _ = expand_frontier_edges_tbl(
+                rp_t, ci_t, nnz, ids, cap_e)
+            # every expanded edge has an ACTIVE source by construction
+            cd = rowsel.take(colors, d)
+            forb = jnp.zeros((m * C,), jnp.int8).at[
+                jnp.where(valid, s * C + cd, m * C)].max(
+                jnp.int8(1), mode="drop").reshape(m, C)
+            new_colors, sat, stuck = _first_fit(forb, colors, active)
+
+            # conflicts among edges with >= 1 recolored endpoint (all
+            # other edges were conflict-free last round and unchanged);
+            # reactivate the LOWER endpoint like the reference
+            ce = valid & (s != d) & (rowsel.take(new_colors, s) ==
+                                     rowsel.take(new_colors, d))
+            conflict = jnp.zeros((m,), jnp.int32).at[
+                jnp.where(ce, jnp.minimum(s, d), m)].max(1, mode="drop")
+
+            # an over-capacity frontier makes the whole round a no-op:
+            # exit with spill and let the host pick a bigger tier
+            colors = jnp.where(fits, new_colors, colors)
+            active = jnp.where(fits, (conflict > 0) | sat, active)
+            return (colors, active, it + fits.astype(jnp.int32),
+                    fits & stuck, ~fits)
+
+        return segment.build_segmented(_cond, body, rounds_per_segment)
+
+    stats = g._dev(("vc_stats",), lambda: jax.jit(
+        lambda a: (jnp.sum(a.astype(jnp.int32)),
+                   jnp.sum(jnp.where(a, deg, 0)))))
+
+    tiers = []
+    for ec in VC_SPARSE_CAPS:
+        ic = min(ec, T.next_pow2(max(m, 2)))
+        ec = min(ec, T.next_pow2(max(nnz, 256)))
+        if (ic, ec) not in tiers:
+            tiers.append((ic, ec))
 
     # remember the palette that worked so repeat solves (bench iters)
     # skip the saturated attempts
     C = max_color
     if max_color == T.MAXCOLOR:
         C = getattr(g, "_vc_palette", max_color)
+    colors = jnp.zeros((m,), jnp.int32)
+    active = jnp.ones((m,), bool)
+    it = jnp.int32(0)
     while True:
-        jitted = g._dev(("vc_run", C, CH), lambda: jax.jit(make_run(C)))
-        res, stuck = jitted(src, dst)
-        if not bool(stuck):
-            if max_color == T.MAXCOLOR:
-                g._vc_palette = C
-            return res
-        if C >= 1 << 14:
-            raise ValueError(
-                f"vertex coloring did not fit {C} colors (degeneracy "
-                "beyond the palette-escalation cap)")
-        C *= 2
+        cnt, dsum = (int(x) for x in stats(active))
+        if cnt == 0:
+            break
+        seg = None
+        for ic, ec in tiers:
+            if cnt <= ic and dsum <= ec:
+                seg = g._dev(("vc_seg_sp", C, ic, ec,
+                              rounds_per_segment),
+                             lambda: make_sparse(C, ic, ec))
+                break
+        if seg is None:
+            seg = g._dev(("vc_seg_dense", C, CH),
+                         lambda: make_dense(C))
+        (colors, active, it, stuck, _spill), _ = seg(
+            (colors, active, it, jnp.bool_(False), jnp.bool_(False)))
+        if bool(stuck):
+            if C >= 1 << 14:
+                raise ValueError(
+                    f"vertex coloring did not fit {C} colors "
+                    "(degeneracy beyond the palette-escalation cap)")
+            C *= 2
+    if max_color == T.MAXCOLOR:
+        g._vc_palette = C
+    return VCResult(colors, jnp.max(colors) + 1, it)
