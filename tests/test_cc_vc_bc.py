@@ -95,6 +95,31 @@ def test_vc_palette_escalation():
     assert int(res.num_colors) == n
 
 
+def test_vc_dense_tier(monkeypatch):
+    """Small CPU graphs always fit the sparse tiers, so the dense
+    fallback (the path RMAT-20's first rounds take) needs its caps
+    zeroed out to run under test at all."""
+    from gardenia_tpu.solvers import vc as vcmod
+    monkeypatch.setattr(vcmod, "VC_SPARSE_CAPS", ())
+    g = random_graph(m=180, avg_deg=6, seed=3, symmetric=True)
+    res = vcmod.vc_solver(g)
+    assert oracles.vc_check(g, np.asarray(res.colors))
+
+
+def test_vc_spill_and_tiny_segments(monkeypatch):
+    """Force tier churn: a 16-slot sparse cap spills as soon as conflict
+    reactivation grows the frontier past it (the segment must exit with
+    the spill flag, not silently drop rounds), and 2-round segments
+    exercise the host resume loop many times over one solve."""
+    from gardenia_tpu.solvers import vc as vcmod
+    monkeypatch.setattr(vcmod, "VC_SPARSE_CAPS", (16,))
+    g = random_graph(m=180, avg_deg=6, seed=11, symmetric=True)
+    res = vcmod.vc_solver(g, rounds_per_segment=2)
+    assert oracles.vc_check(g, np.asarray(res.colors))
+    # reference semantics: round count grows one per speculative pass
+    assert int(res.iterations) >= 1
+
+
 def test_bc_chesapeake():
     g = load_graph(f"{DATASETS}/chesapeake.mtx", "mtx", symmetrize=True)
     res = bc_solver(g, 0)
