@@ -116,7 +116,10 @@ def vc_solver(g, *, max_color: int = T.MAXCOLOR,
         return jnp.where(active & ~sat, fit, colors), sat, stuck
 
     def make_dense(C):
-        def body(state):
+        # src/dst ride as jit ARGUMENTS (build_segmented_args): captured
+        # as constants they ship in the remote-compile request body and
+        # die with HTTP 413 at RMAT-20 (256 MB padded COO)
+        def body(state, src, dst):
             colors, active, it, _, _ = state
 
             # forbidden[u, c] = 1 iff a neighbor of active u has color c
@@ -149,13 +152,13 @@ def vc_solver(g, *, max_color: int = T.MAXCOLOR,
 
         # one dense round per call: the host re-checks the frontier
         # after each so it can drop to a sparse tier immediately
-        return segment.build_segmented(_cond, body, 1)
+        return segment.build_segmented_args(_cond, body, 1)
 
     def make_sparse(C, cap_ids, cap_e):
         from gardenia_tpu.ops.frontier import (compact_mask,
                                                expand_frontier_edges_tbl)
 
-        def body(state):
+        def body(state, rp_t, ci_t, deg):
             colors, active, it, _, _ = state
             cnt = jnp.sum(active.astype(jnp.int32))
             dsum = jnp.sum(jnp.where(active, deg, 0))
@@ -186,11 +189,12 @@ def vc_solver(g, *, max_color: int = T.MAXCOLOR,
             return (colors, active, it + fits.astype(jnp.int32),
                     fits & stuck, ~fits)
 
-        return segment.build_segmented(_cond, body, rounds_per_segment)
+        return segment.build_segmented_args(_cond, body,
+                                            rounds_per_segment)
 
     stats = g._dev(("vc_stats",), lambda: jax.jit(
-        lambda a: (jnp.sum(a.astype(jnp.int32)),
-                   jnp.sum(jnp.where(a, deg, 0)))))
+        lambda a, deg: (jnp.sum(a.astype(jnp.int32)),
+                        jnp.sum(jnp.where(a, deg, 0)))))
 
     tiers = []
     for ec in VC_SPARSE_CAPS:
@@ -208,21 +212,24 @@ def vc_solver(g, *, max_color: int = T.MAXCOLOR,
     active = jnp.ones((m,), bool)
     it = jnp.int32(0)
     while True:
-        cnt, dsum = (int(x) for x in stats(active))
+        cnt, dsum = (int(x) for x in stats(active, deg))
         if cnt == 0:
             break
-        seg = None
+        seg, consts = None, ()
         for ic, ec in tiers:
             if cnt <= ic and dsum <= ec:
                 seg = g._dev(("vc_seg_sp", C, ic, ec,
                               rounds_per_segment),
                              lambda: make_sparse(C, ic, ec))
+                consts = (rp_t, ci_t, deg)
                 break
         if seg is None:
             seg = g._dev(("vc_seg_dense", C, CH),
                          lambda: make_dense(C))
+            consts = (src, dst)
         (colors, active, it, stuck, _spill), _ = seg(
-            (colors, active, it, jnp.bool_(False), jnp.bool_(False)))
+            (colors, active, it, jnp.bool_(False), jnp.bool_(False)),
+            *consts)
         if bool(stuck):
             if C >= 1 << 14:
                 raise ValueError(

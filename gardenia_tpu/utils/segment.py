@@ -58,6 +58,32 @@ def build_segmented(cond: Callable, body: Callable,
     return seg
 
 
+def build_segmented_args(cond: Callable, body: Callable,
+                         rounds_per_segment: int) -> Callable:
+    """build_segmented, but `seg(carry, *consts)` threads loop-invariant
+    device arrays through as jit ARGUMENTS.  Closure-captured device
+    arrays become jaxpr CONSTANTS and ship inside the remote-compile
+    request body — a graph-sized table (the VC padded COO is 256 MB at
+    RMAT-20) dies with HTTP 413 (CLAUDE.md gotcha).  `cond(carry)` as
+    before; `body(carry, *consts)`."""
+    K = int(rounds_per_segment)
+
+    @jax.jit
+    def seg(carry, *consts):
+        def c2(state):
+            k, c = state
+            return jnp.logical_and(k < K, cond(c))
+
+        def b2(state):
+            k, c = state
+            return k + 1, body(c, *consts)
+
+        _, out = jax.lax.while_loop(c2, b2, (jnp.int32(0), carry))
+        return out, cond(out)
+
+    return seg
+
+
 def run_segmented(seg: Callable, carry: Any, *,
                   checkpointer: Optional[Any] = None,
                   checkpoint_every: int = 0,
