@@ -59,6 +59,13 @@ VC_SPARSE_CAPS = (1 << 17, 1 << 21)
 # per call so the host can switch tiers as soon as the frontier fits
 VC_ROUNDS_PER_SEGMENT = 64
 
+# once at most this many vertices stay active, ONE core pass colors
+# them all: the speculative cascade fixes O(1) hubs per round (measured
+# rounds == num_colors: 74 at scale 14, 239 at RMAT-20 — 167.9 s with
+# every hub round forced dense by hub degree sums), while a sequential
+# exact first-fit over the core is conflict-free in a single program
+VC_CORE_CAP = 2048
+
 
 def vc_solver(g, *, max_color: int = T.MAXCOLOR,
               rounds_per_segment: int = VC_ROUNDS_PER_SEGMENT) -> VCResult:
@@ -154,9 +161,19 @@ def vc_solver(g, *, max_color: int = T.MAXCOLOR,
         # after each so it can drop to a sparse tier immediately
         return segment.build_segmented_args(_cond, body, 1)
 
-    def make_sparse(C, cap_ids, cap_e):
+    def make_sparse(C, cap_ids, cap_e, core_cap):
         from gardenia_tpu.ops.frontier import (compact_mask,
                                                expand_frontier_edges_tbl)
+
+        def cond_sp(state):
+            # exit as soon as the frontier fits the core pass — the
+            # remaining cascade (one hub per round, measured rounds ==
+            # num_colors) collapses into a single sequential program
+            _, active, _, stuck, spill = state
+            more = _cond(state)
+            if core_cap > 0:
+                more &= jnp.sum(active.astype(jnp.int32)) > core_cap
+            return more
 
         def body(state, rp_t, ci_t, deg):
             colors, active, it, _, _ = state
@@ -189,8 +206,82 @@ def vc_solver(g, *, max_color: int = T.MAXCOLOR,
             return (colors, active, it + fits.astype(jnp.int32),
                     fits & stuck, ~fits)
 
-        return segment.build_segmented_args(_cond, body,
+        return segment.build_segmented_args(cond_sp, body,
                                             rounds_per_segment)
+
+    def make_core(C, K):
+        """One-shot exact greedy over the <=K active vertices.
+
+        One chunked edge sweep builds (a) the core's forbidden table
+        from its NON-core neighbors' committed colors and (b) the
+        core-core adjacency (the hub near-clique that serializes the
+        speculative cascade).  A K-step fori_loop then first-fits the
+        core in ascending-id order, ORing each chosen color into the
+        later rows' forbidden columns through the adjacency — exact,
+        so no conflict pass and no further rounds.  Cost ~= ONE dense
+        round; replaces the O(num_colors) hub cascade."""
+        from gardenia_tpu.ops.frontier import compact_mask
+
+        @jax.jit
+        def core(state, src, dst):
+            colors, active, it, _, _ = state
+            ids = compact_mask(active, K, m)          # ascending ids
+            pos = jnp.full((m + 1,), K, jnp.int32).at[ids].set(
+                jnp.arange(K, dtype=jnp.int32), mode="drop")
+            pos = pos.at[m].set(K)                    # pad ids hit m
+
+            def chunkf(i, fa):
+                forb, adj = fa
+                s = jax.lax.dynamic_slice(src, (i * CH,), (CH,))
+                d = jax.lax.dynamic_slice(dst, (i * CH,), (CH,))
+                ps = rowsel.take(pos, s)
+                pd = rowsel.take(pos, d)
+                cd = rowsel.take(colors, d)
+                score, dcore = ps < K, pd < K
+                # stale colors of core neighbors are NOT forbidden
+                # (they get recolored below, through adj)
+                forb = forb.at[jnp.where(score & ~dcore,
+                                         ps * C + cd, K * C)].max(
+                    jnp.int8(1))
+                adj = adj.at[jnp.where(score & dcore,
+                                       ps * K + pd, K * K)].max(
+                    jnp.int8(1))
+                return forb, adj
+
+            forb, adj = jax.lax.fori_loop(
+                0, n_ch, chunkf, (jnp.zeros((K * C + 1,), jnp.int8),
+                                  jnp.zeros((K * K + 1,), jnp.int8)))
+            forb2 = forb[:K * C].reshape(K, C)
+            adj2 = adj[:K * K].reshape(K, K)
+
+            def step(i, st):
+                forb2, chosen = st
+                row = jax.lax.dynamic_slice(forb2, (i, 0), (1, C))[0]
+                c_i = jnp.argmin(row).astype(jnp.int32)
+                sat = row[c_i] > 0
+                chosen = chosen.at[i].set(jnp.where(sat, -1, c_i))
+                colv = jax.lax.dynamic_slice(adj2, (0, i), (K, 1))
+                cur = jax.lax.dynamic_slice(forb2, (0, c_i), (K, 1))
+                upd = jnp.maximum(cur, jnp.where(sat, jnp.int8(0),
+                                                 colv))
+                return (jax.lax.dynamic_update_slice(forb2, upd,
+                                                     (0, c_i)),
+                        chosen)
+
+            _, chosen = jax.lax.fori_loop(
+                0, K, step, (forb2, jnp.full((K,), -1, jnp.int32)))
+            valid = ids < m
+            got = valid & (chosen >= 0)
+            colors = colors.at[jnp.where(got, ids, m)].set(
+                jnp.where(got, chosen, 0), mode="drop")
+            active = jnp.zeros((m,), bool).at[
+                jnp.where(valid & (chosen < 0), ids, m)].set(
+                True, mode="drop")
+            stuck = jnp.any(valid & (chosen < 0))
+            return ((colors, active, it + 1, stuck, jnp.bool_(False)),
+                    jnp.bool_(False))
+
+        return core
 
     stats = g._dev(("vc_stats",), lambda: jax.jit(
         lambda a, deg: (jnp.sum(a.astype(jnp.int32)),
@@ -216,11 +307,17 @@ def vc_solver(g, *, max_color: int = T.MAXCOLOR,
         if cnt == 0:
             break
         seg, consts = None, ()
-        for ic, ec in tiers:
+        # K sequential steps run regardless of cnt — clamp to the graph
+        K = min(VC_CORE_CAP, T.next_pow2(max(m, 2)))
+        if cnt <= K:
+            seg = g._dev(("vc_core", C, K, CH),
+                         lambda: make_core(C, K))
+            consts = (src, dst)
+        for ic, ec in tiers if seg is None else ():
             if cnt <= ic and dsum <= ec:
-                seg = g._dev(("vc_seg_sp", C, ic, ec,
+                seg = g._dev(("vc_seg_sp", C, ic, ec, K,
                               rounds_per_segment),
-                             lambda: make_sparse(C, ic, ec))
+                             lambda: make_sparse(C, ic, ec, K))
                 consts = (rp_t, ci_t, deg)
                 break
         if seg is None:

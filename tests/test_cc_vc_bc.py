@@ -101,6 +101,7 @@ def test_vc_dense_tier(monkeypatch):
     zeroed out to run under test at all."""
     from gardenia_tpu.solvers import vc as vcmod
     monkeypatch.setattr(vcmod, "VC_SPARSE_CAPS", ())
+    monkeypatch.setattr(vcmod, "VC_CORE_CAP", 0)
     g = random_graph(m=180, avg_deg=6, seed=3, symmetric=True)
     res = vcmod.vc_solver(g)
     assert oracles.vc_check(g, np.asarray(res.colors))
@@ -113,11 +114,47 @@ def test_vc_spill_and_tiny_segments(monkeypatch):
     exercise the host resume loop many times over one solve."""
     from gardenia_tpu.solvers import vc as vcmod
     monkeypatch.setattr(vcmod, "VC_SPARSE_CAPS", (16,))
+    monkeypatch.setattr(vcmod, "VC_CORE_CAP", 0)
     g = random_graph(m=180, avg_deg=6, seed=11, symmetric=True)
     res = vcmod.vc_solver(g, rounds_per_segment=2)
     assert oracles.vc_check(g, np.asarray(res.colors))
     # reference semantics: round count grows one per speculative pass
     assert int(res.iterations) >= 1
+
+
+def test_vc_core_handoff(monkeypatch):
+    """Speculative tiers must hand off to the sequential core pass the
+    round the frontier fits VC_CORE_CAP, and the handoff coloring stays
+    proper (the core's forbidden table must see every committed
+    non-core color and the core-core near-clique through adj)."""
+    from gardenia_tpu.solvers import vc as vcmod
+    monkeypatch.setattr(vcmod, "VC_CORE_CAP", 16)
+    g = random_graph(m=180, avg_deg=8, seed=5, symmetric=True)
+    res = vcmod.vc_solver(g)
+    assert oracles.vc_check(g, np.asarray(res.colors))
+    assert int(res.num_colors) <= g.max_degree + 1
+
+
+def test_vc_core_saturation_resume(monkeypatch):
+    """A clique wider than the palette saturates inside the CORE pass;
+    saturated members must stay active and resume under the doubled
+    palette with every committed color kept."""
+    from gardenia_tpu.solvers import vc as vcmod
+    import numpy as np
+    from gardenia_tpu.core.graph import Graph
+    n = 10
+    src = np.repeat(np.arange(n, dtype=np.int32), n - 1)
+    dst = np.concatenate(
+        [[j for j in range(n) if j != i] for i in range(n)]
+    ).astype(np.int32)
+    order = np.argsort(src, kind="stable")
+    rowptr = np.zeros(n + 1, np.int64)
+    np.add.at(rowptr[1:], src, 1)
+    rowptr = np.cumsum(rowptr)
+    g = Graph(rowptr.astype(np.int64), dst[order], symmetric=True)
+    res = vcmod.vc_solver(g, max_color=4)
+    assert oracles.vc_check(g, np.asarray(res.colors))
+    assert int(res.num_colors) == n
 
 
 def test_bc_chesapeake():
