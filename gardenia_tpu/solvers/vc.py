@@ -63,8 +63,12 @@ VC_ROUNDS_PER_SEGMENT = 64
 # them all: the speculative cascade fixes O(1) hubs per round (measured
 # rounds == num_colors: 74 at scale 14, 239 at RMAT-20 — 167.9 s with
 # every hub round forced dense by hub degree sums), while a sequential
-# exact first-fit over the core is conflict-free in a single program
-VC_CORE_CAP = 2048
+# exact first-fit over the core is conflict-free in a single program.
+# 16384 slots = a 256 MB (K,K) byte adjacency and a 16K-step device
+# loop (~µs/step), traded against ~0.7 s per avoided dense round — at
+# RMAT-20 a 2048 cap still left ~80 cascade rounds (86.9 s) before
+# handoff
+VC_CORE_CAP = 16384
 
 
 def vc_solver(g, *, max_color: int = T.MAXCOLOR,
@@ -223,9 +227,15 @@ def vc_solver(g, *, max_color: int = T.MAXCOLOR,
         from gardenia_tpu.ops.frontier import compact_mask
 
         @jax.jit
-        def core(state, src, dst):
+        def core(state, src, dst, deg):
             colors, active, it, _, _ = state
             ids = compact_mask(active, K, m)          # ascending ids
+            # largest-first greedy uses measurably fewer colors than id
+            # order (id order cost an extra palette escalation at
+            # RMAT-20: 257 colors where the cascade fit 239); pads
+            # (deg -1) sort last, keeping the slot/pad split
+            dv = jnp.where(ids < m, rowsel.take(deg, ids), -1)
+            ids = jnp.take(ids, jnp.argsort(-dv), axis=0)
             pos = jnp.full((m + 1,), K, jnp.int32).at[ids].set(
                 jnp.arange(K, dtype=jnp.int32), mode="drop")
             pos = pos.at[m].set(K)                    # pad ids hit m
@@ -260,7 +270,10 @@ def vc_solver(g, *, max_color: int = T.MAXCOLOR,
                 c_i = jnp.argmin(row).astype(jnp.int32)
                 sat = row[c_i] > 0
                 chosen = chosen.at[i].set(jnp.where(sat, -1, c_i))
-                colv = jax.lax.dynamic_slice(adj2, (0, i), (K, 1))
+                # adj is symmetric (both edge directions scattered), so
+                # read the contiguous ROW instead of a strided column
+                colv = jax.lax.dynamic_slice(adj2, (i, 0),
+                                             (1, K)).reshape(K, 1)
                 cur = jax.lax.dynamic_slice(forb2, (0, c_i), (K, 1))
                 upd = jnp.maximum(cur, jnp.where(sat, jnp.int8(0),
                                                  colv))
@@ -299,6 +312,9 @@ def vc_solver(g, *, max_color: int = T.MAXCOLOR,
     C = max_color
     if max_color == T.MAXCOLOR:
         C = getattr(g, "_vc_palette", max_color)
+    import os
+    import time as _time
+    _trace = os.environ.get("GDN_VC_TIME") == "1"
     colors = jnp.zeros((m,), jnp.int32)
     active = jnp.ones((m,), bool)
     it = jnp.int32(0)
@@ -306,27 +322,33 @@ def vc_solver(g, *, max_color: int = T.MAXCOLOR,
         cnt, dsum = (int(x) for x in stats(active, deg))
         if cnt == 0:
             break
-        seg, consts = None, ()
+        seg, consts, tier = None, (), "dense"
         # K sequential steps run regardless of cnt — clamp to the graph
         K = min(VC_CORE_CAP, T.next_pow2(max(m, 2)))
         if cnt <= K:
             seg = g._dev(("vc_core", C, K, CH),
                          lambda: make_core(C, K))
-            consts = (src, dst)
+            consts, tier = (src, dst, deg), "core"
         for ic, ec in tiers if seg is None else ():
             if cnt <= ic and dsum <= ec:
                 seg = g._dev(("vc_seg_sp", C, ic, ec, K,
                               rounds_per_segment),
                              lambda: make_sparse(C, ic, ec, K))
-                consts = (rp_t, ci_t, deg)
+                consts, tier = (rp_t, ci_t, deg), f"sparse{ec}"
                 break
         if seg is None:
             seg = g._dev(("vc_seg_dense", C, CH),
                          lambda: make_dense(C))
             consts = (src, dst)
+        _t0 = _time.time()
         (colors, active, it, stuck, _spill), _ = seg(
             (colors, active, it, jnp.bool_(False), jnp.bool_(False)),
             *consts)
+        if _trace:
+            stuck = bool(stuck)   # sync so dt covers the device work
+            print(f"vc[{tier}] it={int(it)} cnt={cnt} dsum={dsum} "
+                  f"C={C} stuck={stuck} dt={_time.time() - _t0:.3f}s",
+                  flush=True)
         if bool(stuck):
             if C >= 1 << 14:
                 raise ValueError(
