@@ -69,22 +69,26 @@ def symgs_solver(g, Ax: Optional[np.ndarray] = None,
         diag_d = jnp.asarray(diag)
         b_d = jnp.asarray(b)
 
+        # the operands ride as jit ARGUMENTS (closure constants ship in
+        # the remote-compile request body — the RMAT-20 ELL died with
+        # HTTP 413) and the color blocks run under fori_loop (unrolled,
+        # 2*num_colors = 478 full SpMVs at scale 20 blew program size)
         @jax.jit
-        def run(x):
-            def sweep(x, c):
+        def run(x, ell, colors_d, diag_d, b_d):
+            def sweep(c, x):
                 mask = colors_d == c
                 rsum = spmv_ell(ell, x, semiring=F32_PLUS_TIMES,
                                 num_rows=m, row_mask=mask)
                 newx = (b_d - rsum) / diag_d
                 return jnp.where(mask & (diag_d != 0), newx, x)
 
-            for c in range(num_colors):      # forward (omp_base.cc:38-39)
-                x = sweep(x, c)
-            for c in range(num_colors - 1, -1, -1):  # backward (:40-41)
-                x = sweep(x, c)
-            return x
-        return run
+            # forward (omp_base.cc:38-39), then backward (:40-41)
+            x = jax.lax.fori_loop(0, num_colors, sweep, x)
+            return jax.lax.fori_loop(
+                0, num_colors,
+                lambda i, x: sweep(num_colors - 1 - i, x), x)
+        return run, (ell, colors_d, diag_d, b_d)
 
-    run = g._dev(("symgs_run", id(Ax), id(b), id(diag), id(colors)),
-                 build, retain=(Ax, b, diag, colors))
-    return SymGSResult(run(jnp.asarray(x)), num_colors)
+    run, ops = g._dev(("symgs_run", id(Ax), id(b), id(diag), id(colors)),
+                      build, retain=(Ax, b, diag, colors))
+    return SymGSResult(run(jnp.asarray(x), *ops), num_colors)
