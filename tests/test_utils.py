@@ -143,3 +143,41 @@ def test_segmented_while_matches_while_loop(tmp_path):
     got2, n2 = run_segmented(seg, init, checkpointer=ck,
                              checkpoint_every=1)
     assert float(got2[0]) == float(expect[0]) and int(got2[1]) == 37
+
+
+def test_segmented_args_matches_closure_form():
+    """build_segmented_args threads loop-invariant operands as jit
+    arguments (closure constants ship in the remote-compile request
+    body and die with HTTP 413 at graph scale) — results must match
+    the closure form exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from gardenia_tpu.utils.segment import (build_segmented,
+                                            build_segmented_args)
+
+    table = jnp.arange(16, dtype=jnp.float32)
+
+    def cond(c):
+        x, it = c
+        return it < 11
+
+    def body_closure(c):
+        x, it = c
+        return x + table[it % 16], it + 1
+
+    def body_args(c, tbl):
+        x, it = c
+        return x + tbl[it % 16], it + 1
+
+    init = (jnp.float32(0.0), jnp.int32(0))
+    seg_c = build_segmented(cond, body_closure, 4)
+    seg_a = build_segmented_args(cond, body_args, 4)
+
+    ca, cb = init, init
+    for _ in range(3):
+        ca, more_a = seg_a(ca, table)
+        cb, more_b = seg_c(cb)
+        assert bool(more_a) == bool(more_b)
+    assert float(ca[0]) == float(cb[0])
+    assert int(ca[1]) == int(cb[1]) == 11
