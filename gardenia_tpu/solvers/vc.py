@@ -64,11 +64,12 @@ VC_ROUNDS_PER_SEGMENT = 64
 # rounds == num_colors: 74 at scale 14, 239 at RMAT-20 — 167.9 s with
 # every hub round forced dense by hub degree sums), while a sequential
 # exact first-fit over the core is conflict-free in a single program.
-# 16384 slots = a 256 MB (K,K) byte adjacency and a 16K-step device
-# loop (~µs/step), traded against ~0.7 s per avoided dense round — at
-# RMAT-20 a 2048 cap still left ~80 cascade rounds (86.9 s) before
-# handoff
-VC_CORE_CAP = 16384
+# 65536 slots = a 4 GB (K,K) byte adjacency (16 GB HBM) and a 65K-step
+# device loop (~µs/step), traded against ~0.4-1 s per avoided dense
+# round — at RMAT-20 a 2048 cap left ~80 cascade rounds (86.9 s) and
+# 16384 still left 29 (31.1 s); the traced trajectory reaches 60K
+# active by round 14
+VC_CORE_CAP = 65536
 
 
 def vc_solver(g, *, max_color: int = T.MAXCOLOR,
@@ -127,39 +128,39 @@ def vc_solver(g, *, max_color: int = T.MAXCOLOR,
         return jnp.where(active & ~sat, fit, colors), sat, stuck
 
     def make_dense(C):
-        # src/dst ride as jit ARGUMENTS (build_segmented_args): captured
-        # as constants they ship in the remote-compile request body and
-        # die with HTTP 413 at RMAT-20 (256 MB padded COO)
+        # MERGED one-pass round (round 5): a scatter-MIN of neighbor
+        # ids into the (m, C) color table serves BOTH conflict
+        # detection — the reference rule "lower endpoint re-enters"
+        # (omp_base.cc:30-41) is table[u, colors[u]] < u — and the
+        # refit's forbidden set (table[u, c] < m), replacing the
+        # two-pass forbidden-sweep + conflict-sweep form.  Simulated at
+        # scale 16: identical round AND color counts; measured cost is
+        # 1 gather + 1 scatter per edge instead of 4 + 2.  `active`
+        # means "refit last round, test me": a vertex whose test comes
+        # back clean drops out without refitting.  src/dst ride as jit
+        # ARGUMENTS (a 256 MB closure constant dies with HTTP 413 in
+        # the remote compiler).
         def body(state, src, dst):
             colors, active, it, _, _ = state
 
-            # forbidden[u, c] = 1 iff a neighbor of active u has color c
-            def fchunk(i, forb):
+            def fchunk(i, tab):
                 s = jax.lax.dynamic_slice(src, (i * CH,), (CH,))
                 d = jax.lax.dynamic_slice(dst, (i * CH,), (CH,))
                 cd = rowsel.take(colors, d)
-                flat_idx = jnp.where(rowsel.take(active, s),
-                                     s * C + cd, m * C)
-                return forb.at[flat_idx].max(jnp.int8(1), mode="drop")
+                # pad edges (s = m) index past m*C and drop
+                return tab.at[s * C + cd].min(d, mode="drop")
 
-            forb = jax.lax.fori_loop(
+            tab = jax.lax.fori_loop(
                 0, n_ch, fchunk,
-                jnp.zeros((m * C,), jnp.int8)).reshape(m, C)
-            colors, sat, stuck = _first_fit(forb, colors, active)
-
-            # conflicts: edge (u,v), u<v, same color -> u again
-            def cchunk(i, conflict):
-                s = jax.lax.dynamic_slice(src, (i * CH,), (CH,))
-                d = jax.lax.dynamic_slice(dst, (i * CH,), (CH,))
-                ce = (s < d) & (rowsel.take(colors, s) ==
-                                rowsel.take(colors, d))
-                return conflict.at[jnp.where(ce, s, m)].max(
-                    1, mode="drop")
-
-            conflict = jax.lax.fori_loop(
-                0, n_ch, cchunk, jnp.zeros((m,), jnp.int32))
-            return (colors, (conflict > 0) | sat, it + 1, stuck,
-                    jnp.bool_(False))
+                jnp.full((m * C,), m, jnp.int32)).reshape(m, C)
+            own = jnp.take_along_axis(tab, colors[:, None], axis=1)[:, 0]
+            conflicted = active & (own < jnp.arange(m, dtype=jnp.int32))
+            forb = tab < m
+            satrow = jnp.all(forb, axis=1)
+            fit = jnp.argmin(forb, axis=1).astype(jnp.int32)
+            colors = jnp.where(conflicted & ~satrow, fit, colors)
+            stuck = jnp.any(conflicted & satrow)
+            return (colors, conflicted, it + 1, stuck, jnp.bool_(False))
 
         # one dense round per call: the host re-checks the frontier
         # after each so it can drop to a sparse tier immediately
