@@ -382,11 +382,15 @@ def bench_kcl(scale: int, k: int = 4):
     total, secs = time_op(lambda: kcl_solver(g, k), warmup=1,
                           iters=2 if scale < 18 else 1)
     mcps = total / secs / 1e6
+    detail = {"cliques": int(total), "k": k,
+              "ms": round(secs * 1e3, 3), "nnz": g.nnz}
+    from gardenia_tpu.mining.kcl import LAST_TIMINGS
+    if LAST_TIMINGS:          # populated when GDN_KCL_TIME=1
+        detail["stages"] = dict(LAST_TIMINGS)
     return {"metric": f"kcl{k}_mcps_rmat{scale}", "value": round(mcps, 3),
             "unit": "M cliques/s",
             "vs_baseline": round(mcps / BASELINE_KCL4_MCPS, 4),
-            "detail": {"cliques": int(total), "k": k,
-                       "ms": round(secs * 1e3, 3), "nnz": g.nnz}}
+            "detail": detail}
 
 
 def bench_motif(scale: int, k: int = 4):
